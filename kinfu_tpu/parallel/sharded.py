@@ -1,0 +1,309 @@
+"""Mesh-sharded pipeline: Z-sharded volume, psum ICP, halo-exchange raycast.
+
+Decomposition (no reference equivalent — the reference is single-GPU;
+SURVEY.md section 2 parallelism call-out):
+
+  - **integrate**: embarrassingly parallel — each shard fuses its own
+    Z-slab of voxels against the (replicated, ~1 MB) depth/color images,
+    offsetting voxel positions by its slab origin. Zero communication.
+  - **raycast**: each shard marches only the t-interval where the ray's z
+    lies inside its slab (on the *global* sample grid, so crossings are
+    bit-identical to single-chip), using a 2-voxel halo obtained via two
+    `ppermute`s so crossings/trilinear gradients straddling the boundary
+    resolve locally. Hits composite with a `pmin` over the mesh (first hit
+    along the ray wins; a closer backface cancels, preserving the
+    reference's early-break semantics, tsdf_volume.cu:242-244); the winning
+    shard shades, a masked `psum` broadcasts the result.
+  - **ICP**: image rows shard across the mesh, each shard reduces its
+    partial 6x6 normal equations, one `psum` finishes the reduction
+    (the ICI equivalent of rigid_icp.cu:115-132), and every device solves
+    the same 6x6 system — the pose stays replicated by construction.
+
+All collectives ride the mesh axis "z" (ICI on a TPU slice); the host never
+sees a voxel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from kinfu_tpu.config import KinFuParams
+from kinfu_tpu.frontend.maps import build_measurement_pyramid, resize_points_normals
+from kinfu_tpu.geometry.intrinsics import Intrinsics
+from kinfu_tpu.geometry.se3 import (
+    Pose,
+    compose,
+    identity_pose,
+    inverse,
+    pose_matrix,
+)
+from kinfu_tpu.parallel.mesh import VOLUME_AXIS, volume_sharding
+from kinfu_tpu.pipeline.kinfu import _model_pyramid, _volume_pose
+from kinfu_tpu.pipeline.state import KinFuState, StepOutput
+from kinfu_tpu.tracking.icp import rigid_icp
+from kinfu_tpu.volume.integrate import integrate
+from kinfu_tpu.volume.raycast import camera_rays, march, ray_aabb, shade, _INF
+from kinfu_tpu.volume.tsdf import TSDFVolume, reset_volume
+
+HALO = 3  # voxel rows: march samples reach +-2.5 rows past the owned slab
+# (one step each side of a boundary crossing + rint), trilinear gradient
+# +-1.5 — 3 covers the worst case at |dir_z| = 1.
+
+
+def halo_exchange_z(x: jnp.ndarray, axis_name: str = VOLUME_AXIS, halo: int = HALO):
+    """Pad a local [Zl, Y, X] slab with `halo` rows from each Z-neighbour.
+
+    Boundary shards receive zero rows (outside the global volume these are
+    never sampled — the 1-voxel global border rule masks them)."""
+    n = jax.lax.axis_size(axis_name)
+    below = jax.lax.ppermute(  # my last rows -> next shard's leading halo
+        x[-halo:], axis_name, perm=[(i, i + 1) for i in range(n - 1)]
+    )
+    above = jax.lax.ppermute(  # my first rows -> previous shard's trailing halo
+        x[:halo], axis_name, perm=[(i + 1, i) for i in range(n - 1)]
+    )
+    return jnp.concatenate([below, x, above], axis=0)
+
+
+def _local_t_interval(org_z, dir_z, z_lo, z_hi, t_start, t_end, step):
+    """Restrict the global march interval to where the ray's z coordinate is
+    inside [z_lo, z_hi), *snapped to the global sample grid* so the sharded
+    march visits exactly the same sample points as the single-chip one."""
+    dz_safe = jnp.where(jnp.abs(dir_z) < 1e-12, 1e-12, dir_z)
+    ta = (z_lo - org_z) / dz_safe
+    tb = (z_hi - org_z) / dz_safe
+    t_in = jnp.minimum(ta, tb)
+    t_out = jnp.maximum(ta, tb)
+    # near-horizontal rays: entirely inside or outside the slab
+    horiz = jnp.abs(dir_z) < 1e-12
+    inside = (org_z >= z_lo) & (org_z < z_hi)
+    t_in = jnp.where(horiz, jnp.where(inside, t_start, _INF), t_in)
+    t_out = jnp.where(horiz, jnp.where(inside, t_end, -_INF), t_out)
+
+    # one-step overlap each side; duplicates resolve identically via pmin
+    lo = jnp.maximum(t_start, t_in - 2 * step)
+    hi = jnp.minimum(t_end, t_out + 2 * step)
+    # snap to the global grid t_start + k*step
+    k = jnp.ceil(jnp.maximum(lo - t_start, 0.0) / step)
+    return t_start + k * step, hi
+
+
+def sharded_raycast(
+    tsdf_local: jnp.ndarray,
+    cam2vol: Pose,
+    intr: Intrinsics,
+    params: KinFuParams,
+    axis_name: str = VOLUME_AXIS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Raycast over a Z-sharded volume; returns replicated camera-frame
+    vertex/normal maps. Call inside shard_map."""
+    Zl, Y, X = tsdf_local.shape
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    Zg = Zl * n
+    vsx, vsy, vsz = params.voxel_size
+    step = params.raycast_step_voxels * vsx
+    inv_vs = jnp.array([1.0 / vsx, 1.0 / vsy, 1.0 / vsz], dtype=jnp.float32)
+
+    padded = halo_exchange_z(tsdf_local, axis_name)
+    z0 = idx * Zl
+    z0h = z0 - HALO
+
+    org, dirs = camera_rays(cam2vol, intr)
+    box_max = jnp.array(params.volume_range, dtype=jnp.float32)
+    tnear, tfar = ray_aabb(org, dirs, box_max)
+    t_start = jnp.maximum(tnear, 0.0) + step
+
+    z_lo = z0.astype(jnp.float32) * vsz
+    z_hi = (z0 + Zl).astype(jnp.float32) * vsz
+    t_lo, t_hi = _local_t_interval(org[2], dirs[..., 2], z_lo, z_hi, t_start, tfar, step)
+
+    res = march(padded, (Zg, Y, X), z0h, org, dirs, t_lo, t_hi, step, inv_vs)
+
+    # composite: earliest hit / earliest backface across shards
+    hit_t = jax.lax.pmin(res.hit_t, axis_name)
+    back_t = jax.lax.pmin(res.back_t, axis_name)
+    hit = (hit_t < back_t) & (hit_t < _INF)
+
+    # unique winner: the shard whose slab contains the hit's z coordinate
+    # (intervals overlap by 2 steps, so neighbours may detect the same
+    # crossing at the identical grid t — ownership dedupes the psum)
+    hit_z = org[2] + dirs[..., 2] * hit_t
+    owned = (hit_z >= z_lo) & (hit_z < z_hi)
+    # global-boundary hits (z outside every half-open slab) fall to shard 0/n-1
+    owned = owned | ((idx == 0) & (hit_z < 0.0)) | (
+        (idx == n - 1) & (hit_z >= vsz * Zg)
+    )
+    mine = hit & (res.hit_t <= hit_t) & owned
+    winner = jax.lax.pmin(jnp.where(mine, idx, n), axis_name)
+    i_shade = mine & (winner == idx)
+
+    vertex, nrm, valid = shade(
+        padded, (Zg, Y, X), z0h, org, dirs, hit_t, i_shade, params.voxel_size
+    )
+    R, _ = cam2vol
+    Rinv = R.T
+    vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
+    ncam = jnp.einsum("ij,hwj->hwi", Rinv, nrm)
+    mask = (valid & i_shade)[..., None]
+    vout = jax.lax.psum(jnp.where(mask, vcam, 0.0), axis_name)
+    nout = jax.lax.psum(jnp.where(mask, ncam, 0.0), axis_name)
+    return vout, nout
+
+
+def _row_shard(img: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Slice this device's block of image rows (for the ICP psum reduce)."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    rows = img.shape[0] // n
+    return jax.lax.dynamic_slice_in_dim(img, idx * rows, rows, axis=0)
+
+
+def kinfu_step_local(
+    state: KinFuState,
+    depth_mm: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    params: KinFuParams,
+    intr: Intrinsics,
+    axis_name: str = VOLUME_AXIS,
+) -> Tuple[KinFuState, StepOutput]:
+    """Per-device body of the sharded per-frame step (mirrors
+    pipeline.kinfu.kinfu_step; runs inside shard_map)."""
+    vol_pose = _volume_pose(params)
+    Zl = state.vol.tsdf.shape[0]
+    z_offset = jax.lax.axis_index(axis_name) * Zl
+
+    dmaps, vmaps, nmaps = build_measurement_pyramid(
+        depth_mm,
+        intr,
+        pyramid_height=params.pyramid_height,
+        bfilter_kernel_size=params.bfilter_kernel_size,
+        bfilter_color_sigma=params.bfilter_color_sigma,
+        bfilter_spatial_sigma=params.bfilter_spatial_sigma,
+        depth_scale=params.depth_scale,
+        max_dist=params.dfilter_dist,
+        normal_disc_threshold=params.normal_disc_threshold,
+    )
+
+    def bootstrap(state: KinFuState):
+        vol2cam = compose(inverse(state.pose), vol_pose)
+        vol = integrate(
+            state.vol, dmaps[0], color_rgb, vol2cam, intr, params, z_offset=z_offset
+        )
+        new_state = KinFuState(
+            vol=vol,
+            pose=state.pose,
+            model_vmaps=tuple(vmaps),
+            model_nmaps=tuple(nmaps),
+            frame_count=jnp.asarray(2, dtype=jnp.int32),
+        )
+        out = StepOutput(
+            pose_matrix=pose_matrix(state.pose),
+            tracking_ok=jnp.asarray(True),
+            icp_inliers=jnp.asarray(0, jnp.int32),
+        )
+        return new_state, out
+
+    def track_and_fuse(state: KinFuState):
+        cur_v = [_row_shard(v, axis_name) for v in vmaps]
+        cur_n = [_row_shard(n, axis_name) for n in nmaps]
+        icp = rigid_icp(
+            cur_v,
+            cur_n,
+            state.model_vmaps,
+            state.model_nmaps,
+            intr,
+            params,
+            axis_name=axis_name,
+        )
+
+        def on_ok(_):
+            new_pose = compose(state.pose, icp.pose)
+            vol2cam = compose(inverse(new_pose), vol_pose)
+            vol = integrate(
+                state.vol, dmaps[0], color_rgb, vol2cam, intr, params, z_offset=z_offset
+            )
+            cam2vol = compose(inverse(vol_pose), new_pose)
+            rv, rn = sharded_raycast(vol.tsdf, cam2vol, intr, params, axis_name)
+            mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
+            new_state = KinFuState(
+                vol=vol,
+                pose=new_pose,
+                model_vmaps=mv,
+                model_nmaps=mn,
+                frame_count=state.frame_count + 1,
+            )
+            out = StepOutput(
+                pose_matrix=pose_matrix(new_pose),
+                tracking_ok=jnp.asarray(True),
+                icp_inliers=icp.num_inliers,
+            )
+            return new_state, out
+
+        def on_fail(_):
+            new_state = KinFuState(
+                vol=reset_volume(state.vol),
+                pose=identity_pose(),
+                model_vmaps=jax.tree.map(jnp.zeros_like, state.model_vmaps),
+                model_nmaps=jax.tree.map(jnp.zeros_like, state.model_nmaps),
+                frame_count=jnp.asarray(1, dtype=jnp.int32),
+            )
+            out = StepOutput(
+                pose_matrix=pose_matrix(identity_pose()),
+                tracking_ok=jnp.asarray(False),
+                icp_inliers=icp.num_inliers,
+            )
+            return new_state, out
+
+        return jax.lax.cond(icp.ok, on_ok, on_fail, None)
+
+    return jax.lax.cond(state.frame_count == 1, bootstrap, track_and_fuse, state)
+
+
+def _state_specs(params: KinFuParams) -> KinFuState:
+    vol_spec = TSDFVolume(
+        tsdf=P(VOLUME_AXIS, None, None),
+        weight=P(VOLUME_AXIS, None, None),
+        color=P(VOLUME_AXIS, None, None),
+    )
+    return KinFuState(
+        vol=vol_spec,
+        pose=Pose(P(), P()),
+        model_vmaps=tuple(P() for _ in range(params.pyramid_height)),
+        model_nmaps=tuple(P() for _ in range(params.pyramid_height)),
+        frame_count=P(),
+    )
+
+
+def make_sharded_step_fn(params: KinFuParams, intr: Intrinsics, mesh: Mesh):
+    """Jitted mesh-sharded per-frame step with donated volume state."""
+    state_spec = _state_specs(params)
+    out_spec = StepOutput(pose_matrix=P(), tracking_ok=P(), icp_inliers=P())
+
+    body = functools.partial(kinfu_step_local, params=params, intr=intr)
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(state_spec, P(), P()),
+        out_specs=(state_spec, out_spec),
+        check_rep=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def shard_state(state: KinFuState, mesh: Mesh) -> KinFuState:
+    """Place a host-built state onto the mesh (volume Z-sharded, rest
+    replicated)."""
+    vs = volume_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    vol = jax.tree.map(lambda x: jax.device_put(x, vs), state.vol)
+    rest = jax.tree.map(
+        lambda x: jax.device_put(x, rep), state._replace(vol=None)
+    )
+    return rest._replace(vol=vol)

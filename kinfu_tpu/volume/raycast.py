@@ -1,0 +1,253 @@
+"""Raycast surface prediction — jnp reference implementation.
+
+All rays march in lockstep inside one `lax.while_loop` (XLA-friendly: fixed
+shapes, global early-exit when every ray is done), sampling the TSDF with
+nearest-voxel gathers. Hit refinement and normals run as a separate
+vectorised pass over the recorded hit parameters, so the expensive trilinear
+gradient (6 interpolations * 8 corners) happens once per ray instead of once
+per march step.
+
+The marcher and shader are factored to operate on a *local Z-slab* of the
+global volume (``z0h`` = global z index of local row 0, ``dims_g`` = global
+dims): the single-chip path passes the full volume, while the sharded path
+(kinfu_tpu/parallel/) passes each shard's slab (plus halo) and a restricted
+t-interval, then min-composites hits across the mesh.
+
+Math parity with device::raycast (tsdf_volume.cu:113-279):
+  - ray = cam2vol.R @ K^-1 [u,v,1], normalised, origin cam2vol.t (:217-220)
+  - AABB clip to [0, volume_range], start at max(tnear,0)+step, step = one
+    voxel (:225-232)
+  - nearest-voxel TSDF sampling, invalid outside [1, dims-2] (:166-177);
+    an invalid sample never triggers a crossing test (NaN semantics, :237)
+  - -,+ crossing (backface) terminates the ray without a hit (:242-243)
+  - +,- crossing: linear refinement, vertex = org + dir*Ts, normal = central
+    difference of trilinear TSDF at +-voxel/2, outputs rotated to the camera
+    frame: vmap = Rinv (vertex - t), nmap = Rinv n (:246-254)
+
+Two deliberate fixes vs the reference, recorded in DIVERGENCES.md (items 2
+and 10): the refinement interpolates forward (the reference subtracts the
+fractional step), and an invalid normal terminates the ray.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from kinfu_tpu.config import KinFuParams
+from kinfu_tpu.geometry.se3 import Pose
+from kinfu_tpu.geometry.intrinsics import Intrinsics
+from kinfu_tpu.volume.tsdf import TSDFVolume, tsdf_to_float
+
+_INF = 1e30
+
+
+class MarchResult(NamedTuple):
+    #: ray parameter of the first +,- crossing, +inf when none
+    hit_t: jnp.ndarray
+    #: ray parameter of the first -,+ (backface) event, +inf when none
+    back_t: jnp.ndarray
+
+
+def _sample_nearest(tsdf_flat, dims_g, z0h, local_z, p_vox):
+    """Nearest-voxel TSDF at float *global* voxel coords ([..., 3] x,y,z).
+
+    The backing array covers global z rows [z0h, z0h + local_z). Validity is
+    the reference's 1-voxel global border (tsdf_volume.cu:166-177) AND local
+    availability.
+    """
+    Zg, Y, X = dims_g
+    xi = jnp.rint(p_vox[..., 0]).astype(jnp.int32)
+    yi = jnp.rint(p_vox[..., 1]).astype(jnp.int32)
+    zi = jnp.rint(p_vox[..., 2]).astype(jnp.int32)
+    valid = (
+        (xi >= 1) & (xi < X - 1) & (yi >= 1) & (yi < Y - 1) & (zi >= 1) & (zi < Zg - 1)
+    )
+    zl = zi - z0h
+    valid = valid & (zl >= 0) & (zl < local_z)
+    lin = jnp.clip((zl * Y + yi) * X + xi, 0, local_z * Y * X - 1)
+    val = tsdf_to_float(jnp.take(tsdf_flat, lin))
+    return val, valid
+
+
+def trilinear(tsdf_flat, dims_g, z0h, local_z, p_vox):
+    """Trilinear TSDF interpolation at float global voxel coords (corner
+    convention). Parity: device::interpolate (tsdf_volume.cu:139-161): floor
+    anchor, invalid outside [0, dims-2]. Returns (value, valid)."""
+    Zg, Y, X = dims_g
+    g = jnp.floor(p_vox)
+    gx = g[..., 0].astype(jnp.int32)
+    gy = g[..., 1].astype(jnp.int32)
+    gz = g[..., 2].astype(jnp.int32)
+    valid = (
+        (gx >= 0) & (gx < X - 1) & (gy >= 0) & (gy < Y - 1) & (gz >= 0) & (gz < Zg - 1)
+    )
+    gzl = gz - z0h
+    valid = valid & (gzl >= 0) & (gzl < local_z - 1)
+
+    a = p_vox[..., 0] - g[..., 0]
+    b = p_vox[..., 1] - g[..., 1]
+    c = p_vox[..., 2] - g[..., 2]
+
+    gxc = jnp.clip(gx, 0, X - 2)
+    gyc = jnp.clip(gy, 0, Y - 2)
+    gzc = jnp.clip(gzl, 0, local_z - 2)
+
+    acc = jnp.zeros(p_vox.shape[:-1], dtype=jnp.float32)
+    for dx in (0, 1):
+        wx = a if dx else (1.0 - a)
+        for dy in (0, 1):
+            wy = b if dy else (1.0 - b)
+            for dz in (0, 1):
+                wz = c if dz else (1.0 - c)
+                lin = ((gzc + dz) * Y + (gyc + dy)) * X + (gxc + dx)
+                acc = acc + tsdf_to_float(jnp.take(tsdf_flat, lin)) * wx * wy * wz
+    return acc, valid
+
+
+def ray_aabb(org, dirs, box_max):
+    """Per-ray entry/exit parameters for the [0, box_max] AABB
+    (device::intersect, tsdf_volume.cu:120-136)."""
+    safe_dirs = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    tbot = (0.0 - org) / safe_dirs
+    ttop = (box_max - org) / safe_dirs
+    tnear = jnp.max(jnp.minimum(tbot, ttop), axis=-1)
+    tfar = jnp.min(jnp.maximum(tbot, ttop), axis=-1)
+    return tnear, tfar
+
+
+def march(
+    tsdf_local: jnp.ndarray,
+    dims_g: Tuple[int, int, int],
+    z0h: jnp.ndarray | int,
+    org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_end: jnp.ndarray,
+    step: float,
+    inv_vs: jnp.ndarray,
+) -> MarchResult:
+    """Lockstep ray march over [t_start, t_end).
+
+    tsdf_local: [local_Z, Y, X] int16 slab covering global z rows
+    [z0h, z0h + local_Z). Samples outside the slab are invalid (the crossing
+    tests skip them), so a sharded caller must provide halo rows for
+    crossings that straddle its boundary.
+    """
+    local_z = tsdf_local.shape[0]
+    tsdf_flat = tsdf_local.reshape(-1)
+
+    t0 = t_start
+    p0 = org[None, None, :] + dirs * t0[..., None]
+    f0, v0 = _sample_nearest(tsdf_flat, dims_g, z0h, local_z, p0 * inv_vs)
+    alive0 = t0 < t_end
+
+    hit_t = jnp.full(t0.shape, _INF, dtype=jnp.float32)
+    back_t = jnp.full(t0.shape, _INF, dtype=jnp.float32)
+
+    def cond(state):
+        _, _, _, alive, _, _ = state
+        return jnp.any(alive)
+
+    def body(state):
+        tcur, f_prev, v_prev, alive, hit_t, back_t = state
+        tnext = tcur + step
+        p = org[None, None, :] + dirs * tnext[..., None]
+        f_next, v_next = _sample_nearest(tsdf_flat, dims_g, z0h, local_z, p * inv_vs)
+
+        both = v_prev & v_next & alive
+        front = both & (f_prev > 0.0) & (f_next < 0.0)
+        back = both & (f_prev < 0.0) & (f_next > 0.0)
+
+        frac = f_prev / jnp.maximum(f_prev - f_next, 1e-30)
+        hit_t = jnp.where(front, jnp.minimum(hit_t, tcur + step * frac), hit_t)
+        back_t = jnp.where(back, jnp.minimum(back_t, tnext), back_t)
+
+        alive = alive & ~front & ~back & (tnext < t_end)
+        return (tnext, f_next, v_next, alive, hit_t, back_t)
+
+    state = (t0, f0, v0, alive0, hit_t, back_t)
+    _, _, _, _, hit_t, back_t = jax.lax.while_loop(cond, body, state)
+    return MarchResult(hit_t=hit_t, back_t=back_t)
+
+
+def shade(
+    tsdf_local: jnp.ndarray,
+    dims_g: Tuple[int, int, int],
+    z0h: jnp.ndarray | int,
+    org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    hit_t: jnp.ndarray,
+    hit_mask: jnp.ndarray,
+    voxel_size: Tuple[float, float, float],
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Vertex (volume frame) + trilinear-gradient normal at the hits.
+
+    Returns (vertex [H,W,3], normal [H,W,3], valid [H,W]).
+    """
+    local_z = tsdf_local.shape[0]
+    tsdf_flat = tsdf_local.reshape(-1)
+    vsx, vsy, vsz = voxel_size
+    inv_vs = jnp.array([1.0 / vsx, 1.0 / vsy, 1.0 / vsz], dtype=jnp.float32)
+    delta = jnp.array([vsx, vsy, vsz], dtype=jnp.float32) * 0.5
+
+    t_safe = jnp.where(hit_mask, hit_t, 0.0)
+    vertex = org[None, None, :] + dirs * t_safe[..., None]
+
+    def axis_grad(axis):
+        e = jnp.zeros((3,), jnp.float32).at[axis].set(delta[axis])
+        f1, v1 = trilinear(tsdf_flat, dims_g, z0h, local_z, (vertex + e) * inv_vs)
+        f2, v2 = trilinear(tsdf_flat, dims_g, z0h, local_z, (vertex - e) * inv_vs)
+        return (f1 - f2) / (2.0 * delta[axis]), v1 & v2
+
+    gx, vx = axis_grad(0)
+    gy, vy = axis_grad(1)
+    gz, vz = axis_grad(2)
+    n = jnp.stack([gx, gy, gz], axis=-1)
+    nrm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    valid = hit_mask & vx & vy & vz & (nrm[..., 0] > 1e-20)
+    n = n / jnp.maximum(nrm, 1e-30)
+    return vertex, n, valid
+
+
+def camera_rays(cam2vol: Pose, intr: Intrinsics):
+    """(origin [3], unit direction [H,W,3]) of all pixel rays in the volume
+    frame (tsdf_volume.cu:217-220)."""
+    R, t = cam2vol
+    dirs = jnp.einsum("ij,hwj->hwi", R, intr.pixel_rays())
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    return t, dirs
+
+
+def raycast(
+    vol: TSDFVolume,
+    cam2vol: Pose,
+    intr: Intrinsics,
+    params: KinFuParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-device raycast: camera-frame vertex/normal maps [H, W, 3]."""
+    Z, Y, X = vol.tsdf.shape
+    vsx, vsy, vsz = params.voxel_size
+    step = params.raycast_step_voxels * vsx
+    inv_vs = jnp.array([1.0 / vsx, 1.0 / vsy, 1.0 / vsz], dtype=jnp.float32)
+
+    org, dirs = camera_rays(cam2vol, intr)
+    box_max = jnp.array(params.volume_range, dtype=jnp.float32)
+    tnear, tfar = ray_aabb(org, dirs, box_max)
+    t_start = jnp.maximum(tnear, 0.0) + step
+
+    res = march(vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs)
+    hit = (res.hit_t < res.back_t) & (res.hit_t < _INF)
+
+    vertex, n, valid = shade(
+        vol.tsdf, (Z, Y, X), 0, org, dirs, res.hit_t, hit, params.voxel_size
+    )
+
+    R, t = cam2vol
+    Rinv = R.T
+    vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
+    ncam = jnp.einsum("ij,hwj->hwi", Rinv, n)
+    mask = valid[..., None]
+    return jnp.where(mask, vcam, 0.0), jnp.where(mask, ncam, 0.0)

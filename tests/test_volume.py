@@ -1,0 +1,172 @@
+import numpy as np
+import jax.numpy as jnp
+
+from kinfu_tpu.config import KinFuParams, tiny_params
+from kinfu_tpu.data.synthetic import default_test_scene
+from kinfu_tpu.geometry.intrinsics import Intrinsics
+from kinfu_tpu.geometry.se3 import Pose, compose, identity_pose, inverse, pose_from_matrix
+from kinfu_tpu.volume.extract import extract_points
+from kinfu_tpu.volume.integrate import integrate
+from kinfu_tpu.volume.raycast import raycast
+from kinfu_tpu.volume.tsdf import (
+    create_volume,
+    pack_rgb,
+    tsdf_to_fixed,
+    tsdf_to_float,
+    unpack_rgb,
+)
+
+import functools
+
+import jax
+
+INTR = Intrinsics(width=160, height=120, fx=140.0, fy=140.0, cx=79.5, cy=59.5)
+PARAMS = tiny_params(dim=64).replace(
+    volume_range=(2.0, 2.0, 2.0), volume_origin=(-1.0, -1.0, 0.5)
+)
+
+
+@functools.cache
+def _jitted(fn, params):
+    return jax.jit(functools.partial(fn, intr=INTR, params=params))
+
+
+def j_integrate(vol, depth, color, pose, params=PARAMS):
+    return _jitted(integrate, params)(vol, depth, color, pose)
+
+
+def j_raycast(vol, pose, params=PARAMS):
+    return _jitted(raycast, params)(vol, pose)
+
+
+def _vol2cam(cam_pose: Pose, params) -> Pose:
+    return compose(inverse(cam_pose), pose_from_matrix(jnp.asarray(params.volume_pose)))
+
+
+def _cam2vol(cam_pose: Pose, params) -> Pose:
+    return compose(inverse(pose_from_matrix(jnp.asarray(params.volume_pose))), cam_pose)
+
+
+def _render_plane_depth(z_plane: float) -> np.ndarray:
+    return np.full((INTR.height, INTR.width), z_plane, np.float32)
+
+
+def test_pack_unpack_rgb():
+    rgb = jnp.asarray(np.array([[10, 20, 30], [255, 0, 128]], np.uint8))
+    packed = pack_rgb(rgb)
+    un = np.asarray(unpack_rgb(packed))
+    np.testing.assert_allclose(un, [[10, 20, 30], [255, 0, 128]])
+
+
+def test_tsdf_fixed_point_roundtrip():
+    vals = jnp.asarray([-1.0, -0.5, 0.0, 0.25, 1.0])
+    f = tsdf_to_float(tsdf_to_fixed(vals))
+    np.testing.assert_allclose(np.asarray(f), np.asarray(vals), atol=1e-4)
+
+
+def test_integrate_plane_tsdf_values():
+    """Fronto-parallel plane: voxels in front positive, behind negative,
+    truncated band ~2.1 voxels (tsdf_volume.cu:65-79 math)."""
+    params = PARAMS
+    vol = create_volume(params.volume_dims)
+    depth = jnp.asarray(_render_plane_depth(1.5))
+    color = jnp.zeros((INTR.height, INTR.width, 3), jnp.uint8)
+    cam = identity_pose()
+    vol = j_integrate(vol, depth, color, _vol2cam(cam, params), params)
+
+    F = np.asarray(tsdf_to_float(vol.tsdf))
+    W = np.asarray(vol.weight)
+    vsz = params.voxel_size[2]
+    # voxel index at volume z for world z=1.5: world z = origin_z + k*vs
+    k_surface = (1.5 - 0.5) / vsz  # = 32 at dim=64, range 2
+    # centre column of the image maps near x=y=0 world -> volume index 32
+    i, j = 32, 32
+    col = F[:, j, i]
+    w = W[:, j, i]
+    assert w[int(k_surface) - 1] > 0 and w[int(k_surface) + 1] > 0
+    assert col[int(k_surface) - 1] > 0  # in front of surface (towards camera)
+    assert col[int(k_surface) + 1] < 0  # behind surface
+    # far behind: untouched (sdf < -trunc)
+    assert w[int(k_surface) + 6] == 0
+    # well in front: saturated at +1
+    np.testing.assert_allclose(col[5:20], 1.0, atol=2e-4)
+
+
+def test_integrate_weight_accumulates_and_clamps():
+    params = PARAMS.replace(tsdf_max_weight=3)
+    vol = create_volume(params.volume_dims)
+    depth = jnp.asarray(_render_plane_depth(1.5))
+    color = jnp.zeros((INTR.height, INTR.width, 3), jnp.uint8)
+    cam = identity_pose()
+    for _ in range(5):
+        vol = j_integrate(vol, depth, color, _vol2cam(cam, params), params)
+    W = np.asarray(vol.weight)
+    assert W.max() == 3  # clamped (tsdf_volume.cu:76, MAX_WEIGHT semantics)
+
+
+def test_integrate_color_written_near_surface():
+    params = PARAMS
+    vol = create_volume(params.volume_dims)
+    depth = jnp.asarray(_render_plane_depth(1.5))
+    color = jnp.full((INTR.height, INTR.width, 3), 200, jnp.uint8)
+    vol = j_integrate(vol, depth, color, _vol2cam(identity_pose(), params), params)
+    rgb = np.asarray(unpack_rgb(vol.color))
+    k = 32
+    assert rgb[k, 32, 32].max() > 50  # colored near surface
+    assert rgb[5, 32, 32].max() == 0  # far in front: no color
+
+
+def test_raycast_recovers_plane():
+    params = PARAMS
+    vol = create_volume(params.volume_dims)
+    depth = jnp.asarray(_render_plane_depth(1.5))
+    color = jnp.zeros((INTR.height, INTR.width, 3), jnp.uint8)
+    cam = identity_pose()
+    vol = j_integrate(vol, depth, color, _vol2cam(cam, params), params)
+    vmap, nmap = j_raycast(vol, _cam2vol(cam, params), params)
+    vmap, nmap = np.asarray(vmap), np.asarray(nmap)
+
+    hits = vmap[..., 2] > 0
+    # central region must hit
+    assert hits[40:80, 50:110].mean() > 0.95
+    err = np.abs(vmap[..., 2][hits] - 1.5)
+    assert np.percentile(err, 90) < 1.5 * params.voxel_size[2]
+    # normals point back at the camera
+    nz = nmap[..., 2][hits]
+    assert np.percentile(nz, 95) < -0.9
+
+
+def test_raycast_sphere_geometry():
+    """Sphere fused from exact depth: raycast vertices must lie on the
+    sphere within ~a voxel."""
+    params = PARAMS
+    scene = default_test_scene()
+    vol = create_volume(params.volume_dims)
+    cam = identity_pose()
+    depth_m = scene.render_depth(np.eye(4), INTR)
+    color = jnp.zeros((INTR.height, INTR.width, 3), jnp.uint8)
+    vol = j_integrate(vol, jnp.asarray(depth_m), color, _vol2cam(cam, params), params)
+    vmap, _ = j_raycast(vol, _cam2vol(cam, params), params)
+    vmap = np.asarray(vmap)
+    hits = vmap[..., 2] > 0
+    assert hits.mean() > 0.12
+    pts = vmap[hits]  # camera frame == world frame here
+    d = np.abs(scene.sdf(pts))
+    assert np.percentile(d, 80) < 2.0 * params.voxel_size[0]
+
+
+def test_extract_points_plane():
+    params = PARAMS.replace(max_extracted_points=100_000)
+    vol = create_volume(params.volume_dims)
+    depth = jnp.asarray(_render_plane_depth(1.5))
+    color = jnp.zeros((INTR.height, INTR.width, 3), jnp.uint8)
+    vol = j_integrate(vol, depth, color, _vol2cam(identity_pose(), params), params)
+    pts, count = extract_points(
+        vol, pose_from_matrix(jnp.asarray(params.volume_pose)), params
+    )
+    n = int(count)
+    assert n > 500
+    p = np.asarray(pts[:n])
+    # all crossing points lie on the z=1.5 world plane within half a voxel
+    err = np.abs(p[:, 2] - 1.5)
+    assert np.percentile(err, 90) < 0.75 * params.voxel_size[2]
