@@ -46,6 +46,7 @@ class KinFuSession:
         self.pose_record: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
         self.frame_count = 1
         self.frame_times_ms: List[float] = []
+        self.last_icp_inliers = 0
         self._points_cache: Optional[np.ndarray] = None
 
         @functools.partial(jax.jit, static_argnames=("mode",))
@@ -77,6 +78,7 @@ class KinFuSession:
         self.state, out = self._step(self.state, depth, color)
         pose_m = np.asarray(out.pose_matrix)
         ok = bool(out.tracking_ok)
+        self.last_icp_inliers = int(out.icp_inliers)
         if ok:
             if self.frame_count >= 2:
                 self.pose_record.append(pose_m)
