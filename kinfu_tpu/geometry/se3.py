@@ -92,12 +92,20 @@ def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
 
 
 def rotvec_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle 3-vector from a rotation matrix (log map, rotation only)."""
+    """Axis-angle 3-vector from a rotation matrix (log map, rotation only).
+
+    Differentiation-safe at the identity: the naive arccos((tr-1)/2) has an
+    infinite derivative at trace=3, which poisons jacfwd/jacrev with NaNs
+    even inside the untaken branch of a `where` (the pose-graph optimizer
+    jacfwd's through this). Both branches here are NaN-free: theta comes
+    from arctan2 on guarded inputs and the small-angle branch is polynomial.
+    Angles near pi are outside the accurate range (the antisymmetric part
+    vanishes there); pose-graph edges are far smaller in practice.
+    """
     R = jnp.asarray(R)
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # off-diagonal antisymmetric part
+    # antisymmetric part: w = 2 sin(theta) * axis
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -106,9 +114,13 @@ def rotvec_from_matrix(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = jnp.abs(sin_t) < 1e-6
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / jnp.where(small, 1.0, 2.0 * sin_t))
+    n2 = jnp.sum(w * w, axis=-1)  # = 4 sin^2(theta)
+    small = n2 < 1e-12
+    n2_safe = jnp.where(small, 1.0, n2)
+    sin_t = jnp.sqrt(n2_safe) * 0.5
+    theta = jnp.arctan2(sin_t, cos_t)
+    # theta / (2 sin theta) ~= 0.5 + theta^2/12, theta^2 ~= n2/4 when small
+    scale = jnp.where(small, 0.5 + n2 / 48.0, theta / (2.0 * sin_t))
     return w * scale[..., None]
 
 

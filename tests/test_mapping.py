@@ -1,0 +1,182 @@
+"""Mapping-layer tests: pose graph, keyframes, streaming volume.
+
+No reference equivalent for any of this (SURVEY.md section 5: the reference
+has a fixed 3 m cube, an unbounded pose vector, and wipe-on-failure
+recovery)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kinfu_tpu.config import tiny_params
+from kinfu_tpu.geometry.intrinsics import Intrinsics
+
+
+# ---------------------------------------------------------------- pose graph
+def _pose(rvec, t):
+    from kinfu_tpu.geometry.se3 import rodrigues
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.asarray(rodrigues(jnp.asarray(rvec, jnp.float32)))
+    T[:3, 3] = t
+    return T
+
+
+def test_pose_graph_closes_loop():
+    """A drifted odometry chain with a loop-closure edge back to the start:
+    optimization must pull the endpoint back to the truth."""
+    from kinfu_tpu.mapping.pose_graph import (
+        PoseGraphEdge,
+        odometry_edges,
+        optimize_pose_graph,
+    )
+
+    rng = np.random.default_rng(0)
+    # ground truth: a square loop of 8 poses
+    gt = [np.eye(4, dtype=np.float32)]
+    steps = [
+        _pose([0, 0.0, 0], [0.5, 0, 0]),
+        _pose([0, np.pi / 4, 0], [0.5, 0, 0]),
+    ] * 4
+    for s in steps[:-1]:
+        gt.append((gt[-1] @ s).astype(np.float32))
+
+    # drifted estimates: noisy odometry compounded
+    est = [gt[0]]
+    edges = []
+    for k in range(len(gt) - 1):
+        z = np.linalg.inv(gt[k].astype(np.float64)) @ gt[k + 1]
+        noise = _pose(rng.normal(0, 0.01, 3), rng.normal(0, 0.01, 3))
+        z_noisy = (z @ noise).astype(np.float32)
+        edges.append(PoseGraphEdge(k, k + 1, z_noisy, 1.0))
+        est.append((est[-1] @ z_noisy).astype(np.float32))
+
+    drift_before = np.linalg.norm(est[-1][:3, 3] - gt[-1][:3, 3])
+
+    # loop closure: exact relative pose from last back to first
+    z_loop = np.linalg.inv(gt[-1].astype(np.float64)) @ gt[0]
+    edges.append(
+        PoseGraphEdge(len(gt) - 1, 0, z_loop.astype(np.float32), 10.0)
+    )
+
+    opt, rms = optimize_pose_graph(est, edges, iterations=15)
+    drift_after = np.linalg.norm(opt[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift_after < 0.3 * drift_before
+    assert rms < 0.05
+
+
+def test_pose_graph_odometry_only_is_consistent():
+    """With only exact odometry edges, optimization must not move anything."""
+    from kinfu_tpu.mapping.pose_graph import odometry_edges, optimize_pose_graph
+
+    poses = [np.eye(4, dtype=np.float32)]
+    for k in range(4):
+        poses.append((poses[-1] @ _pose([0, 0.1, 0], [0.2, 0, 0.05])).astype(np.float32))
+    opt, rms = optimize_pose_graph(poses, odometry_edges(poses), iterations=5)
+    assert rms < 1e-5
+    for a, b in zip(poses, opt):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+# ---------------------------------------------------------------- keyframes
+def test_keyframe_selection():
+    from kinfu_tpu.mapping.keyframes import KeyframeStore
+
+    ks = KeyframeStore(min_translation=0.1, min_rotation_deg=10.0)
+    assert ks.maybe_add(0, np.eye(4))          # first always added
+    T = np.eye(4)
+    T[:3, 3] = [0.05, 0, 0]
+    assert not ks.maybe_add(1, T)              # too close
+    T2 = np.eye(4)
+    T2[:3, 3] = [0.15, 0, 0]
+    assert ks.maybe_add(2, T2)                 # far enough
+    T3 = _pose([0, np.radians(12), 0], [0.16, 0, 0])
+    assert ks.maybe_add(3, T3)                 # rotated enough
+    assert len(ks) == 3
+    near = ks.nearest(T)
+    assert near.index == 0
+
+
+# ---------------------------------------------------------- streaming volume
+def test_shift_volume_moves_content():
+    from kinfu_tpu.volume.stream import shift_volume
+    from kinfu_tpu.volume.tsdf import TSDFVolume
+
+    Z = Y = X = 8
+    tsdf = jnp.zeros((Z, Y, X), jnp.int16).at[4, 4, 4].set(1000)
+    vol = TSDFVolume(
+        tsdf=tsdf,
+        weight=jnp.zeros_like(tsdf),
+        color=jnp.zeros((Z, Y, X), jnp.uint32),
+    )
+    # origin moves +2 voxels in x: the marked voxel's index drops by 2
+    out = shift_volume(vol, jnp.asarray([2, 0, 0], jnp.int32))
+    assert int(out.tsdf[4, 4, 2]) == 1000
+    assert int(out.tsdf[4, 4, 4]) == 0
+    # shift past the edge: content discarded, all zeros
+    out2 = shift_volume(vol, jnp.asarray([0, 0, -6], jnp.int32))
+    assert int(out2.tsdf.sum()) == 0 or int(out2.tsdf[4 + 6 if 4+6 < Z else 0, 4, 4]) == 0
+
+
+def test_camera_centering_shift():
+    from kinfu_tpu.volume.stream import camera_centering_shift
+
+    dims = (64, 64, 64)
+    vs = (0.05, 0.05, 0.05)  # 3.2 m range, margin 0.8 m
+    inside = jnp.asarray([1.6, 1.6, 1.6])
+    np.testing.assert_array_equal(
+        np.asarray(camera_centering_shift(inside, dims, vs)), [0, 0, 0]
+    )
+    past_hi = jnp.asarray([2.6, 1.6, 0.7])
+    s = np.asarray(camera_centering_shift(past_hi, dims, vs))
+    assert s[0] == 4      # (2.6 - 2.4) / 0.05
+    assert s[1] == 0
+    assert s[2] == -2     # (0.7 - 0.8) / 0.05
+
+
+def test_streaming_pipeline_follows_camera():
+    """March the camera forward past the recentering margin: tracking stays
+    locked and the grid origin advances."""
+    import jax
+
+    from kinfu_tpu.data.synthetic import default_test_scene
+    from kinfu_tpu.pipeline.streaming import (
+        init_streaming_state,
+        make_streaming_step_fn,
+    )
+
+    intr = Intrinsics(width=160, height=120, fx=140.0, fy=140.0, cx=79.5, cy=59.5)
+    params = tiny_params(dim=128, levels=2).replace(
+        icp_iters=(4, 8),
+        volume_range=(2.0, 2.0, 2.0),
+        volume_origin=(-1.0, -1.0, 0.4),
+    )
+    scene = default_test_scene()
+    # walk forward 2 cm per frame along +z (sensor-realistic inter-frame
+    # motion: the 15 mm ICP gate cannot absorb much more)
+    poses = []
+    for k in range(7):
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = 0.02 * k
+        poses.append(T)
+    frames = [scene.render_frame(T, intr) for T in poses]
+
+    state = init_streaming_state(params, intr)
+    step = make_streaming_step_fn(params, intr, donate=False, margin_frac=0.42)
+    oks, origins = [], []
+    for d, c in frames:
+        state, out = step(state, jnp.asarray(d), jnp.asarray(c))
+        oks.append(bool(out.tracking_ok))
+        origins.append(np.asarray(state.origin_vox).copy())
+    assert all(oks)
+    # the view anchor starts below the tight central box -> the grid must
+    # have recentred at least once
+    assert any((o != 0).any() for o in origins)
+    # tracked translation must match the walked distance despite the shifts.
+    # z is the walked axis and tracks tightly; x/y carry the projective-TSDF
+    # obliquity bias of the synthetic floor plane, which the fixed-volume
+    # pipeline exhibits identically (verified side by side) — the streaming
+    # machinery itself adds no error.
+    final_t = np.asarray(out.pose_matrix)[:3, 3]
+    assert abs(final_t[2] - 0.12) < 0.012
+    assert abs(final_t[0]) < 0.05 and abs(final_t[1]) < 0.05

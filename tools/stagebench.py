@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--stages", type=str, default="pyramid,icp,integrate,raycast")
     args = ap.parse_args()
 
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +116,7 @@ def main():
         return out
 
     if "pyramid" in stages:
-        @jax.jit
+        @functools.partial(jax.jit, static_argnums=(1,))
         def pyr_n(d, n):
             def body(d):
                 dm, vm, nm = build_measurement_pyramid(
@@ -127,7 +129,7 @@ def main():
                     max_dist=params.dfilter_dist,
                 )
                 # feed back something depth-shaped to serialise iterations
-                return d + vm[0][..., 2] * 0.0
+                return d + vm[0][..., 2] * 1e-30  # real dep: stops loop-invariant hoisting
             return scan_n(body, d, n)
 
         results["pyramid"] = measure(
@@ -135,13 +137,13 @@ def main():
         )
 
     if "icp" in stages:
-        @jax.jit
+        @functools.partial(jax.jit, static_argnums=(1,))
         def icp_n(seed, n):
             def body(seed):
                 res = rigid_icp(
-                    [v + seed * 0.0 for v in vmaps], nmaps, vmaps, nmaps, intr, params
+                    [v + seed * 1e-30 for v in vmaps], nmaps, vmaps, nmaps, intr, params
                 )
-                return seed + res.pose.t[0] * 0.0
+                return seed + res.pose.t[0] * 1e-30
             return scan_n(body, seed, n)
 
         results["icp_19iter"] = measure(
@@ -149,7 +151,7 @@ def main():
         )
 
     if "integrate" in stages:
-        @jax.jit
+        @functools.partial(jax.jit, static_argnums=(1,))
         def int_n(v, n):
             return scan_n(
                 lambda v: integrate(v, dmaps[0], color, vol2cam, intr, params), v, n
@@ -160,11 +162,13 @@ def main():
         )
 
     if "raycast" in stages:
-        @jax.jit
+        @functools.partial(jax.jit, static_argnums=(1,))
         def ray_n(seed, n):
             def body(seed):
-                rv, rn = raycast(vol, cam2vol, intr, params)
-                return seed + rv[0, 0, 2] * 0.0
+                from kinfu_tpu.geometry.se3 import Pose
+                c2v = Pose(cam2vol.R, cam2vol.t + seed * 1e-30)
+                rv, rn = raycast(vol, c2v, intr, params)
+                return seed + rv[0, 0, 2] * 1e-30
             return scan_n(body, seed, n)
 
         results["raycast"] = measure(
