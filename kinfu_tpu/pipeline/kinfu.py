@@ -72,9 +72,15 @@ def kinfu_step(
     color_rgb: jnp.ndarray,
     params: KinFuParams,
     intr: Intrinsics,
+    auto_reset: bool = True,
 ) -> Tuple[KinFuState, StepOutput]:
     """Process one frame. depth_mm: [H, W] float32 raw depth (mm-scale);
-    color_rgb: [H, W, 3] uint8."""
+    color_rgb: [H, W, 3] uint8.
+
+    auto_reset=True reproduces the reference's recovery (tracking failure
+    wipes map + pose, kinectfusion.cpp:97-102). auto_reset=False keeps the
+    state untouched on failure so a relocalizer (mapping/relocalize.py +
+    relocalize_step) can try to re-acquire the existing map instead."""
     vol_pose = _volume_pose(params)
 
     dmaps, vmaps, nmaps = build_measurement_pyramid(
@@ -135,16 +141,22 @@ def kinfu_step(
             return new_state, out
 
         def on_fail(_):
-            """tracking fail! -> full reset (kinectfusion.cpp:97-102)."""
-            new_state = KinFuState(
-                vol=reset_volume(state.vol),
-                pose=identity_pose(),
-                model_vmaps=jax.tree.map(jnp.zeros_like, state.model_vmaps),
-                model_nmaps=jax.tree.map(jnp.zeros_like, state.model_nmaps),
-                frame_count=jnp.asarray(1, dtype=jnp.int32),
-            )
+            """tracking fail! -> full reset (kinectfusion.cpp:97-102), or —
+            with auto_reset=False — keep the map for relocalization."""
+            if auto_reset:
+                new_state = KinFuState(
+                    vol=reset_volume(state.vol),
+                    pose=identity_pose(),
+                    model_vmaps=jax.tree.map(jnp.zeros_like, state.model_vmaps),
+                    model_nmaps=jax.tree.map(jnp.zeros_like, state.model_nmaps),
+                    frame_count=jnp.asarray(1, dtype=jnp.int32),
+                )
+                pose_out = pose_matrix(identity_pose())
+            else:
+                new_state = state
+                pose_out = pose_matrix(state.pose)
             out = StepOutput(
-                pose_matrix=pose_matrix(identity_pose()),
+                pose_matrix=pose_out,
                 tracking_ok=jnp.asarray(False),
                 icp_inliers=icp.num_inliers,
             )
@@ -157,8 +169,80 @@ def kinfu_step(
 
 
 def make_step_fn(
-    params: KinFuParams, intr: Intrinsics, donate: bool = True
+    params: KinFuParams, intr: Intrinsics, donate: bool = True, auto_reset: bool = True
 ) -> Callable[[KinFuState, jnp.ndarray, jnp.ndarray], Tuple[KinFuState, StepOutput]]:
     """Jitted step with the state donated (in-place volume update)."""
-    fn = functools.partial(kinfu_step, params=params, intr=intr)
+    fn = functools.partial(
+        kinfu_step, params=params, intr=intr, auto_reset=auto_reset
+    )
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def relocalize_step(
+    state: KinFuState,
+    depth_mm: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    seed_pose: jnp.ndarray,
+    params: KinFuParams,
+    intr: Intrinsics,
+) -> Tuple[KinFuState, StepOutput]:
+    """One relocalization attempt against the kept map.
+
+    Raycasts the volume from `seed_pose` (a 4x4 world-from-camera guess,
+    typically the nearest keyframe — mapping/keyframes.py), runs ICP of the
+    current measurement against that prediction, and on success re-enters
+    normal tracking (integrate + fresh model maps). On failure the state is
+    returned untouched. No reference equivalent (the reference can only
+    wipe the map, kinectfusion.cpp:97-102)."""
+    vol_pose = _volume_pose(params)
+    seed = pose_from_matrix(jnp.asarray(seed_pose, jnp.float32))
+
+    dmaps, vmaps, nmaps = build_measurement_pyramid(
+        depth_mm,
+        intr,
+        pyramid_height=params.pyramid_height,
+        bfilter_kernel_size=params.bfilter_kernel_size,
+        bfilter_color_sigma=params.bfilter_color_sigma,
+        bfilter_spatial_sigma=params.bfilter_spatial_sigma,
+        depth_scale=params.depth_scale,
+        max_dist=params.dfilter_dist,
+        normal_disc_threshold=params.normal_disc_threshold,
+    )
+
+    # model prediction from the seed pose
+    cam2vol_seed = compose(inverse(vol_pose), seed)
+    rv, rn = raycast(state.vol, cam2vol_seed, intr, params)
+    mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
+
+    icp = rigid_icp(vmaps, nmaps, mv, mn, intr, params)
+
+    def on_ok(_):
+        new_pose = compose(seed, icp.pose)
+        vol2cam = compose(inverse(new_pose), vol_pose)
+        vol = integrate(state.vol, dmaps[0], color_rgb, vol2cam, intr, params)
+        cam2vol = compose(inverse(vol_pose), new_pose)
+        rv2, rn2 = raycast(vol, cam2vol, intr, params)
+        mv2, mn2 = _model_pyramid(rv2, rn2, params.pyramid_height)
+        new_state = KinFuState(
+            vol=vol,
+            pose=new_pose,
+            model_vmaps=mv2,
+            model_nmaps=mn2,
+            frame_count=state.frame_count + 1,
+        )
+        out = StepOutput(
+            pose_matrix=pose_matrix(new_pose),
+            tracking_ok=jnp.asarray(True),
+            icp_inliers=icp.num_inliers,
+        )
+        return new_state, out
+
+    def on_fail(_):
+        out = StepOutput(
+            pose_matrix=pose_matrix(state.pose),
+            tracking_ok=jnp.asarray(False),
+            icp_inliers=icp.num_inliers,
+        )
+        return state, out
+
+    return jax.lax.cond(icp.ok, on_ok, on_fail, None)

@@ -38,11 +38,34 @@ class KinFuSession:
     PHONG = "phong"
     NORMAL = "normal"
 
-    def __init__(self, intr: Intrinsics, params: Optional[KinFuParams] = None):
+    def __init__(
+        self,
+        intr: Intrinsics,
+        params: Optional[KinFuParams] = None,
+        relocalize: bool = False,
+    ):
         self.intr = intr
         self.params = params or KinFuParams()
         self.state = init_state(self.params, intr)
-        self._step = make_step_fn(self.params, intr)
+        # with relocalization on, tracking failure keeps the map (the
+        # relocalizer owns recovery); otherwise reference-parity auto-reset
+        self._step = make_step_fn(self.params, intr, auto_reset=not relocalize)
+        self.relocalizer = None
+        self.keyframes = None
+        if relocalize:
+            from kinfu_tpu.mapping.keyframes import KeyframeStore
+            from kinfu_tpu.mapping.relocalize import Relocalizer
+
+            self.relocalizer = Relocalizer()
+            self.keyframes = KeyframeStore()
+
+            from kinfu_tpu.pipeline.kinfu import relocalize_step
+
+            self._reloc_step = jax.jit(
+                functools.partial(
+                    relocalize_step, params=self.params, intr=intr
+                )
+            )
         self.pose_record: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
         self.frame_count = 1
         self.frame_times_ms: List[float] = []
@@ -79,17 +102,44 @@ class KinFuSession:
         pose_m = np.asarray(out.pose_matrix)
         ok = bool(out.tracking_ok)
         self.last_icp_inliers = int(out.icp_inliers)
+
+        if not ok and self.relocalizer is not None:
+            ok, pose_m = self._try_relocalize(depth, color)
+
         if ok:
             if self.frame_count >= 2:
                 self.pose_record.append(pose_m)
             self.frame_count += 1
-        else:
-            # tracking fail -> the jitted step already reset device state
+            if self.keyframes is not None:
+                self.keyframes.maybe_add(self.frame_count, pose_m)
+        elif self.relocalizer is None:
+            # reference-parity: the jitted step already reset device state
             self.pose_record = [np.eye(4, dtype=np.float32)]
             self.frame_count = 1
         ms = (time.perf_counter() - t0) * 1e3
         self.frame_times_ms.append(ms)
         return ok
+
+    def _try_relocalize(self, depth, color):
+        """Attempt to re-acquire the kept map from keyframe seed poses;
+        wipe everything only after the relocalizer gives up (contrast with
+        the reference's immediate wipe, kinectfusion.cpp:97-102)."""
+        from kinfu_tpu.mapping.relocalize import TrackingStatus
+
+        status = self.relocalizer.on_frame(False, self.last_icp_inliers)
+        if status is TrackingStatus.LOST and len(self.keyframes or []) > 0:
+            seed = self.keyframes.nearest(self.pose_record[-1]).pose
+            self.state, out = self._reloc_step(self.state, depth, color, seed)
+            ok = bool(out.tracking_ok)
+            self.last_icp_inliers = int(out.icp_inliers)
+            if ok:
+                status = self.relocalizer.on_frame(True, self.last_icp_inliers)
+                if status is TrackingStatus.OK:
+                    return True, np.asarray(out.pose_matrix)
+            return False, np.asarray(out.pose_matrix)
+        if status is TrackingStatus.RESET:
+            self.reset()
+        return False, np.eye(4, dtype=np.float32)
 
     def reset(self) -> None:
         self.state = init_state(self.params, self.intr)

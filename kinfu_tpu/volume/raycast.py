@@ -35,6 +35,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from kinfu_tpu.config import KinFuParams
 from kinfu_tpu.geometry.se3 import Pose
@@ -173,6 +174,86 @@ def march(
     return MarchResult(hit_t=hit_t, back_t=back_t)
 
 
+def march_chunked(
+    tsdf_local: jnp.ndarray,
+    dims_g: Tuple[int, int, int],
+    z0h: jnp.ndarray | int,
+    org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_end: jnp.ndarray,
+    step: float,
+    inv_vs: jnp.ndarray,
+    max_steps: int,
+    chunk: int = 64,
+) -> MarchResult:
+    """Chunked lockstep march — identical events to `march`, restructured
+    for TPU throughput.
+
+    `march` issues one [H, W] gather per step (~hundreds of tiny gathers
+    per frame, each a separate loop iteration). Here each while_loop
+    iteration samples `chunk`+1 positions for every ray in ONE [H, W, C+1]
+    gather, detects all +/- crossings in the chunk vectorised, and keeps
+    only each ray's earliest event — ~`max_steps`/`chunk` big iterations
+    with a global early exit once every ray has resolved. Crossing t values
+    land on the same global grid as `march`, so results are identical.
+    """
+    local_z = tsdf_local.shape[0]
+    tsdf_flat = tsdf_local.reshape(-1)
+    n_chunks = max(1, -(-max_steps // chunk))
+
+    offs = jnp.arange(chunk + 1, dtype=jnp.float32) * step
+    hit0 = jnp.full(t_start.shape, _INF, dtype=jnp.float32)
+    back0 = jnp.full(t_start.shape, _INF, dtype=jnp.float32)
+    active0 = t_start < t_end
+
+    def cond(state):
+        k, active, _, _ = state
+        return (k < n_chunks) & jnp.any(active)
+
+    def body(state):
+        k, active, hit_t, back_t = state
+        base = t_start + (k * chunk) * step
+        t = base[..., None] + offs  # [H, W, C+1]
+        p = org[None, None, None, :] + dirs[..., None, :] * t[..., None]
+        f, v = _sample_nearest(tsdf_flat, dims_g, z0h, local_z, p * inv_vs)
+
+        fp, fn = f[..., :-1], f[..., 1:]
+        vp, vn = v[..., :-1], v[..., 1:]
+        # pair i is (sample i, sample i+1); test while the leading sample is
+        # still inside the interval (one-step overshoot parity with `march`)
+        in_rng = t[..., :-1] < t_end[..., None]
+        both = vp & vn & in_rng
+        front = both & (fp > 0.0) & (fn < 0.0)
+        back = both & (fp < 0.0) & (fn > 0.0)
+
+        any_evt = front | back
+        has_evt = jnp.any(any_evt, axis=-1)
+        first = jnp.argmax(any_evt, axis=-1)  # first True along the chunk
+
+        t_prev = jnp.take_along_axis(t[..., :-1], first[..., None], axis=-1)[..., 0]
+        f_prev = jnp.take_along_axis(fp, first[..., None], axis=-1)[..., 0]
+        f_next = jnp.take_along_axis(fn, first[..., None], axis=-1)[..., 0]
+        is_front = jnp.take_along_axis(front, first[..., None], axis=-1)[..., 0]
+
+        frac = f_prev / jnp.maximum(f_prev - f_next, 1e-30)
+        t_hit = t_prev + step * frac
+
+        ev = active & has_evt
+        hit_t = jnp.where(ev & is_front, t_hit, hit_t)
+        back_t = jnp.where(ev & ~is_front, t_prev + step, back_t)
+
+        # a ray stays active until it has an event or leaves the interval
+        exhausted = base + chunk * step >= t_end
+        active = active & ~has_evt & ~exhausted
+        return (k + 1, active, hit_t, back_t)
+
+    _, _, hit_t, back_t = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), active0, hit0, back0)
+    )
+    return MarchResult(hit_t=hit_t, back_t=back_t)
+
+
 def shade(
     tsdf_local: jnp.ndarray,
     dims_g: Tuple[int, int, int],
@@ -238,7 +319,11 @@ def raycast(
     tnear, tfar = ray_aabb(org, dirs, box_max)
     t_start = jnp.maximum(tnear, 0.0) + step
 
-    res = march(vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs)
+    diag = float(np.linalg.norm(params.volume_range))
+    max_steps = int(np.ceil(diag / step)) + 2
+    res = march_chunked(
+        vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs, max_steps
+    )
     hit = (res.hit_t < res.back_t) & (res.hit_t < _INF)
 
     vertex, n, valid = shade(

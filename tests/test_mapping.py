@@ -180,3 +180,45 @@ def test_streaming_pipeline_follows_camera():
     final_t = np.asarray(out.pose_matrix)[:3, 3]
     assert abs(final_t[2] - 0.12) < 0.012
     assert abs(final_t[0]) < 0.05 and abs(final_t[1]) < 0.05
+
+
+def test_relocalization_recovers_without_map_wipe():
+    """Track a few frames, feed garbage (tracking lost), then return to a
+    previously seen view: the session must re-acquire the OLD map via a
+    keyframe seed instead of wiping (the reference can only wipe,
+    kinectfusion.cpp:97-102)."""
+    from kinfu_tpu.data.synthetic import default_test_scene, make_orbit_trajectory
+    from kinfu_tpu.pipeline.session import KinFuSession
+
+    intr = Intrinsics(width=160, height=120, fx=140.0, fy=140.0, cx=79.5, cy=59.5)
+    params = tiny_params(dim=128, levels=2).replace(
+        icp_iters=(4, 8), volume_range=(2.0, 2.0, 2.0), volume_origin=(-1.0, -1.0, 0.5)
+    )
+    scene = default_test_scene()
+    traj = make_orbit_trajectory(5, angle_step_deg=0.4)
+    frames = [scene.render_frame(T, intr) for T in traj]
+
+    sess = KinFuSession(intr, params, relocalize=True)
+    for depth, color in frames:
+        assert sess.pipeline(color, depth)
+    fused_before = int(np.asarray((np.asarray(sess.state.vol.weight) > 0).sum()))
+    poses_before = len(sess.pose_record)
+    assert len(sess.keyframes) >= 1
+
+    # two garbage frames: tracking fails, but the map must survive
+    zero_d = np.zeros_like(frames[0][0])
+    zero_c = np.zeros_like(frames[0][1])
+    assert not sess.pipeline(zero_c, zero_d)
+    assert not sess.pipeline(zero_c, zero_d)
+    fused_kept = int(np.asarray((np.asarray(sess.state.vol.weight) > 0).sum()))
+    assert fused_kept == fused_before  # no wipe
+
+    # return to (near) the last tracked view: relocalizer re-acquires
+    depth, color = frames[-1]
+    ok = sess.pipeline(color, depth)
+    assert ok
+    assert len(sess.pose_record) == poses_before + 1
+    # recovered pose is close to where we left off
+    np.testing.assert_allclose(
+        sess.pose_record[-1][:3, 3], traj[4][:3, 3], atol=0.02
+    )

@@ -170,3 +170,50 @@ def test_extract_points_plane():
     # all crossing points lie on the z=1.5 world plane within half a voxel
     err = np.abs(p[:, 2] - 1.5)
     assert np.percentile(err, 90) < 0.75 * params.voxel_size[2]
+
+
+def test_march_chunked_matches_march():
+    """The chunked TPU-throughput march must produce identical hits to the
+    step-by-step reference march on the same sample grid."""
+    from kinfu_tpu.volume.raycast import (
+        camera_rays,
+        march,
+        march_chunked,
+        ray_aabb,
+    )
+    from kinfu_tpu.geometry.se3 import identity_pose
+
+    params = PARAMS
+    scene = default_test_scene()
+    vol = create_volume(params.volume_dims)
+    depth_m = scene.render_depth(np.eye(4), INTR)
+    color = jnp.zeros((INTR.height, INTR.width, 3), jnp.uint8)
+    vol = j_integrate(
+        vol, jnp.asarray(depth_m), color, _vol2cam(identity_pose(), params), params
+    )
+
+    Z, Y, X = vol.tsdf.shape
+    vsx, vsy, vsz = params.voxel_size
+    step = params.raycast_step_voxels * vsx
+    inv_vs = jnp.array([1 / vsx, 1 / vsy, 1 / vsz], jnp.float32)
+    org, dirs = camera_rays(_cam2vol(identity_pose(), params), INTR)
+    box_max = jnp.array(params.volume_range, jnp.float32)
+    tnear, tfar = ray_aabb(org, dirs, box_max)
+    t_start = jnp.maximum(tnear, 0.0) + step
+
+    a = march(vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs)
+    diag = float(np.linalg.norm(params.volume_range))
+    max_steps = int(np.ceil(diag / step)) + 2
+    for chunk in (7, 64):
+        b = jax.jit(
+            lambda: march_chunked(
+                vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs,
+                max_steps, chunk=chunk,
+            )
+        )()
+        np.testing.assert_allclose(
+            np.asarray(a.hit_t), np.asarray(b.hit_t), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.back_t), np.asarray(b.back_t), rtol=1e-6
+        )
