@@ -1,12 +1,12 @@
 """Per-stage device-time breakdown on real hardware.
 
-Times each pipeline stage (measurement pyramid, ICP, integrate, raycast,
-full step) with the same scan-length-difference method as bench.py: each
-stage runs inside a jitted `lax.scan` over N iterations, and time is
-(T(N_big) - T(N_small)) / (N_big - N_small), which cancels the fixed
-dispatch round-trip of remote/tunneled TPU backends.
+Single compiled program with DYNAMIC per-stage iteration counts
+(fori_loop), so varying the workload never recompiles — essential on
+remote/tunneled TPU backends where each distinct program costs minutes of
+compile time. Per-stage time = (T(stage boosted) - T(baseline)) / extra
+iterations, which also cancels the fixed dispatch round-trip.
 
-Usage: python tools/stagebench.py [--dim 512] [--iters 16] [--stages icp,raycast]
+Usage: python tools/stagebench.py [--dim 512] [--iters 16]
 """
 
 from __future__ import annotations
@@ -19,21 +19,6 @@ import time
 import numpy as np
 
 
-def measure(fn, state, n_small, n_big, reps=3):
-    """fn(state, n) -> array output; returns per-iter seconds."""
-    fn(state, n_small)
-    fn(state, n_big)
-    ts, tb = [], []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        np.asarray(fn(state, n_small))
-        ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        np.asarray(fn(state, n_big))
-        tb.append(time.perf_counter() - t0)
-    return (min(tb) - min(ts)) / (n_big - n_small)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dim", type=int, default=512)
@@ -41,11 +26,7 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--iters", type=int, default=16)
-    ap.add_argument("--small", type=int, default=2)
-    ap.add_argument("--stages", type=str, default="pyramid,icp,integrate,raycast")
     args = ap.parse_args()
-
-    import functools
 
     import jax
     import jax.numpy as jnp
@@ -61,8 +42,13 @@ def main():
     from kinfu_tpu.data.synthetic import default_test_scene
     from kinfu_tpu.frontend.maps import build_measurement_pyramid
     from kinfu_tpu.geometry.intrinsics import Intrinsics
-    from kinfu_tpu.geometry.se3 import compose, identity_pose, inverse, pose_from_matrix
-    from kinfu_tpu.pipeline.kinfu import init_state
+    from kinfu_tpu.geometry.se3 import (
+        Pose,
+        compose,
+        identity_pose,
+        inverse,
+        pose_from_matrix,
+    )
     from kinfu_tpu.tracking.icp import rigid_icp
     from kinfu_tpu.volume.integrate import integrate
     from kinfu_tpu.volume.raycast import raycast
@@ -90,12 +76,10 @@ def main():
     vol2cam = compose(inverse(cam), vol_pose)
     cam2vol = compose(inverse(vol_pose), cam)
 
-    # build one real fused state so raycast/ICP hit real geometry
-    vol = create_volume(params.volume_dims)
-    vol = jax.jit(lambda v: integrate(v, depth_raw * params.depth_scale, color, vol2cam, intr, params))(vol)
-    dmaps, vmaps, nmaps = jax.jit(
-        lambda d: build_measurement_pyramid(
-            d, intr,
+    def pyramid(d):
+        return build_measurement_pyramid(
+            d,
+            intr,
             pyramid_height=params.pyramid_height,
             bfilter_kernel_size=params.bfilter_kernel_size,
             bfilter_color_sigma=params.bfilter_color_sigma,
@@ -103,78 +87,66 @@ def main():
             depth_scale=params.depth_scale,
             max_dist=params.dfilter_dist,
         )
-    )(depth_raw)
 
+    vol0 = create_volume(params.volume_dims)
+    vol0 = jax.jit(
+        lambda v: integrate(
+            v, depth_raw * params.depth_scale, color, vol2cam, intr, params
+        )
+    )(vol0)
+    dmaps, vmaps, nmaps = jax.jit(pyramid)(depth_raw)
+
+    @jax.jit
+    def run(n_pyr, n_icp, n_int, n_ray):
+        def loop(n, body, c0):
+            return jax.lax.fori_loop(0, n, lambda _, c: body(c), c0)
+
+        def pyr_body(d):
+            dm, vm, nm = pyramid(d)
+            return d + vm[0][..., 2] * 1e-30
+
+        a = loop(n_pyr, pyr_body, depth_raw)
+
+        def icp_body(seed):
+            res = rigid_icp(
+                [v + seed * 1e-30 for v in vmaps], nmaps, vmaps, nmaps, intr, params
+            )
+            return seed + res.pose.t[0] * 1e-30
+
+        b = loop(n_icp, icp_body, jnp.float32(0))
+
+        c = loop(
+            n_int,
+            lambda v: integrate(v, dmaps[0], color, vol2cam, intr, params),
+            vol0,
+        )
+
+        def ray_body(seed):
+            c2v = Pose(cam2vol.R, cam2vol.t + seed * 1e-30)
+            rv, rn = raycast(vol0, c2v, intr, params)
+            return seed + rv[0, 0, 2] * 1e-30
+
+        d = loop(n_ray, ray_body, jnp.float32(0))
+        return a[0, 0] + b + c.tsdf[0, 0, 0].astype(jnp.float32) + d
+
+    def t(*ns):
+        t0 = time.perf_counter()
+        np.asarray(run(*ns))
+        return time.perf_counter() - t0
+
+    print("compiling...", flush=True)
+    t0 = time.perf_counter()
+    np.asarray(run(1, 1, 1, 1))
+    print(f"compile+first: {time.perf_counter()-t0:.0f} s", flush=True)
+
+    base = min(t(1, 1, 1, 1) for _ in range(3))
+    K = args.iters
     results = {}
-    stages = args.stages.split(",")
-
-    def scan_n(body, init, n):
-        def f(carry, _):
-            return body(carry), None
-
-        out, _ = jax.lax.scan(f, init, None, length=n)
-        return out
-
-    if "pyramid" in stages:
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def pyr_n(d, n):
-            def body(d):
-                dm, vm, nm = build_measurement_pyramid(
-                    d, intr,
-                    pyramid_height=params.pyramid_height,
-                    bfilter_kernel_size=params.bfilter_kernel_size,
-                    bfilter_color_sigma=params.bfilter_color_sigma,
-                    bfilter_spatial_sigma=params.bfilter_spatial_sigma,
-                    depth_scale=params.depth_scale,
-                    max_dist=params.dfilter_dist,
-                )
-                # feed back something depth-shaped to serialise iterations
-                return d + vm[0][..., 2] * 1e-30  # real dep: stops loop-invariant hoisting
-            return scan_n(body, d, n)
-
-        results["pyramid"] = measure(
-            lambda s, n: pyr_n(s, n), depth_raw, args.small, args.iters
-        )
-
-    if "icp" in stages:
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def icp_n(seed, n):
-            def body(seed):
-                res = rigid_icp(
-                    [v + seed * 1e-30 for v in vmaps], nmaps, vmaps, nmaps, intr, params
-                )
-                return seed + res.pose.t[0] * 1e-30
-            return scan_n(body, seed, n)
-
-        results["icp_19iter"] = measure(
-            lambda s, n: icp_n(s, n), jnp.float32(0), args.small, args.iters
-        )
-
-    if "integrate" in stages:
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def int_n(v, n):
-            return scan_n(
-                lambda v: integrate(v, dmaps[0], color, vol2cam, intr, params), v, n
-            ).tsdf[0, 0, 0]
-
-        results["integrate"] = measure(
-            lambda s, n: int_n(s, n), vol, args.small, args.iters
-        )
-
-    if "raycast" in stages:
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def ray_n(seed, n):
-            def body(seed):
-                from kinfu_tpu.geometry.se3 import Pose
-                c2v = Pose(cam2vol.R, cam2vol.t + seed * 1e-30)
-                rv, rn = raycast(vol, c2v, intr, params)
-                return seed + rv[0, 0, 2] * 1e-30
-            return scan_n(body, seed, n)
-
-        results["raycast"] = measure(
-            lambda s, n: ray_n(s, n), jnp.float32(0), args.small, args.iters
-        )
-
+    for i, nm in enumerate(["pyramid", "icp_19iter", "integrate", "raycast"]):
+        ns = [1, 1, 1, 1]
+        ns[i] = 1 + K
+        tt = min(t(*ns) for _ in range(3))
+        results[nm] = (tt - base) / K
     print(json.dumps({k: round(v * 1e3, 3) for k, v in results.items()}))
 
 
