@@ -48,7 +48,7 @@ from kinfu_tpu.pipeline.kinfu import _model_pyramid, _volume_pose
 from kinfu_tpu.pipeline.state import KinFuState, StepOutput
 from kinfu_tpu.tracking.icp import rigid_icp
 from kinfu_tpu.volume.integrate import integrate
-from kinfu_tpu.volume.raycast import camera_rays, march_chunked, ray_aabb, shade, _INF
+from kinfu_tpu.volume.raycast import camera_rays, march, ray_aabb, shade, _INF
 from kinfu_tpu.volume.tsdf import TSDFVolume, reset_volume
 
 HALO = 3  # voxel rows: march samples reach +-2.5 rows past the owned slab
@@ -124,13 +124,7 @@ def sharded_raycast(
     z_hi = (z0 + Zl).astype(jnp.float32) * vsz
     t_lo, t_hi = _local_t_interval(org[2], dirs[..., 2], z_lo, z_hi, t_start, tfar, step)
 
-    import numpy as _np
-
-    diag = float(_np.linalg.norm(params.volume_range))
-    max_steps = int(_np.ceil(diag / step)) + 2
-    res = march_chunked(
-        padded, (Zg, Y, X), z0h, org, dirs, t_lo, t_hi, step, inv_vs, max_steps
-    )
+    res = march(padded, (Zg, Y, X), z0h, org, dirs, t_lo, t_hi, step, inv_vs)
 
     # composite: earliest hit / earliest backface across shards
     hit_t = jax.lax.pmin(res.hit_t, axis_name)
