@@ -40,7 +40,7 @@ import numpy as np
 from kinfu_tpu.config import KinFuParams
 from kinfu_tpu.geometry.se3 import Pose
 from kinfu_tpu.geometry.intrinsics import Intrinsics
-from kinfu_tpu.volume.tsdf import TSDFVolume, tsdf_to_float
+from kinfu_tpu.volume.tsdf import SHORTMAX, TSDFVolume, tsdf_to_float
 
 _INF = 1e30
 
@@ -254,6 +254,180 @@ def march_chunked(
     return MarchResult(hit_t=hit_t, back_t=back_t)
 
 
+def build_occupancy(tsdf: jnp.ndarray, block: int = 8) -> jnp.ndarray:
+    """Coarse occupancy grid for empty-space skipping.
+
+    A `block`^3 cell is *occupied* iff it contains any voxel with TSDF < 0.
+    Cells with all samples >= 0 can produce no march event: a front (+,-)
+    crossing needs a negative `f_next` and a backface (-,+) crossing a
+    negative `f_prev` (tsdf_volume.cu:242-246 semantics), so such cells —
+    observed free space, the front truncation band, AND unobserved space
+    (stored as 0) — are all safely skippable at cell granularity. Crossings
+    that straddle a cell boundary are caught by `march_hier`'s two-step
+    backup into the preceding cell.
+
+    Works directly on the int16 fixed-point array (sign is preserved by the
+    encoding). Requires all dims divisible by `block`.
+    """
+    Z, Y, X = tsdf.shape
+    b = block
+    r = tsdf.reshape(Z // b, b, Y // b, b, X // b, b)
+    min_f = r.min(axis=(1, 3, 5))
+    return min_f < 0
+
+
+def march_hier(
+    tsdf_local: jnp.ndarray,
+    occ: jnp.ndarray,
+    org: jnp.ndarray,
+    dirs: jnp.ndarray,
+    t_start: jnp.ndarray,
+    t_end: jnp.ndarray,
+    step: float,
+    inv_vs: jnp.ndarray,
+    block: int = 8,
+    max_iters: int | None = None,
+) -> MarchResult:
+    """Two-level lockstep march: DDA over coarse cells, fine steps only
+    inside cells that can hold a crossing.
+
+    Same events as `march` up to sub-step sampling phase: fine sampling
+    inside an occupied cell starts two steps before the cell entry (so the
+    `f_prev` sample for a boundary-straddling crossing lands in the already
+    skipped cell), which shifts the sample grid by a fraction of a step
+    relative to `march`'s global grid. Hit/backface classification and the
+    crossing *interval* are identical; the refined `hit_t` may differ by
+    O(step).
+
+    Every iteration issues exactly ONE gather (the dominant cost on TPU:
+    ~7-13 ns/element regardless of batching, tools/PERF_NOTES.md) from a
+    combined fine+coarse table: coarse-mode rays read their cell's
+    occupancy word, fine-mode rays read their voxel. Skipping cuts the
+    lockstep iteration count from O(diagonal/step) to
+    O(diagonal/(block*voxel)) + O(occupied cells crossed).
+    """
+    Zl, Y, X = tsdf_local.shape
+    Zc, Yc, Xc = occ.shape
+    assert (Zc, Yc, Xc) == (Zl // block, Y // block, X // block)
+    n_fine = Zl * Y * X
+
+    # Coarse cells encoded with the same sign convention as the TSDF:
+    # negative == occupied, so one comparison serves both modes.
+    comb = jnp.concatenate(
+        [
+            tsdf_local.reshape(-1),
+            jnp.where(occ.reshape(-1), jnp.int16(-1), jnp.int16(1)),
+        ]
+    )
+
+    if max_iters is None:
+        # worst case: every cell on the diagonal fine-marched end to end,
+        # with progress >= step/4 per iteration in degenerate corners.
+        max_iters = int(8 * (Zl + Y + X))
+
+    safe_dirs = jnp.where(jnp.abs(dirs) < 1e-12, 1e-12, dirs)
+    pos_dir = dirs > 0
+    vs = 1.0 / inv_vs  # [3] metres per voxel
+
+    def sample_indices(t):
+        """(fine linear index, fine validity, coarse linear index, cell
+        exit t) at ray parameter t."""
+        p = (org[None, None, :] + dirs * t[..., None]) * inv_vs  # voxel coords
+        # fine (nearest voxel, reference validity: 1-voxel border)
+        xi = jnp.rint(p[..., 0]).astype(jnp.int32)
+        yi = jnp.rint(p[..., 1]).astype(jnp.int32)
+        zi = jnp.rint(p[..., 2]).astype(jnp.int32)
+        v = (
+            (xi >= 1)
+            & (xi < X - 1)
+            & (yi >= 1)
+            & (yi < Y - 1)
+            & (zi >= 1)
+            & (zi < Zl - 1)
+        )
+        fine_lin = jnp.clip((zi * Y + yi) * X + xi, 0, n_fine - 1)
+        # coarse cell + DDA exit parameter
+        cell = jnp.floor(p / block).astype(jnp.int32)
+        cc = jnp.clip(cell, 0, jnp.array([Xc - 1, Yc - 1, Zc - 1], jnp.int32))
+        coarse_lin = n_fine + (cc[..., 2] * Yc + cc[..., 1]) * Xc + cc[..., 0]
+        bound_vox = (cell + pos_dir.astype(jnp.int32)).astype(jnp.float32) * block
+        t_ax = (bound_vox * vs - org[None, None, :]) / safe_dirs
+        t_exit = jnp.min(t_ax, axis=-1)
+        return fine_lin, v, coarse_lin, t_exit
+
+    t0 = t_start
+    shape = t0.shape
+    hit0 = jnp.full(shape, _INF, dtype=jnp.float32)
+    back0 = jnp.full(shape, _INF, dtype=jnp.float32)
+    alive0 = t0 < t_end
+    state0 = (
+        jnp.asarray(0, jnp.int32),  # k
+        t0,
+        jnp.zeros(shape, jnp.float32),  # f_prev
+        jnp.zeros(shape, jnp.bool_),  # v_prev
+        jnp.ones(shape, jnp.bool_),  # coarse mode
+        jnp.full(shape, -_INF, jnp.float32),  # fine_until
+        alive0,
+        hit0,
+        back0,
+    )
+
+    def cond(state):
+        k, _, _, _, _, _, alive, _, _ = state
+        return jnp.any(alive) & (k < max_iters)
+
+    def body(state):
+        k, t, f_prev, v_prev, coarse, fine_until, alive, hit_t, back_t = state
+        tnext = t + step
+        fine_lin, v_next, _, _ = sample_indices(tnext)
+        _, _, coarse_lin, t_exit = sample_indices(t)
+
+        raw = jnp.take(comb, jnp.where(coarse, coarse_lin, fine_lin))
+        neg = raw < 0
+
+        # ---- fine branch: crossing tests on consecutive samples ----
+        f_next = raw.astype(jnp.float32) * (1.0 / SHORTMAX)
+        both = ~coarse & alive & v_prev & v_next
+        front = both & (f_prev > 0.0) & (f_next < 0.0)
+        back = both & (f_prev < 0.0) & (f_next > 0.0)
+        frac = f_prev / jnp.maximum(f_prev - f_next, 1e-30)
+        hit_t = jnp.where(front, jnp.minimum(hit_t, t + step * frac), hit_t)
+        back_t = jnp.where(back, jnp.minimum(back_t, tnext), back_t)
+
+        # ---- coarse branch: skip empty cell / drop to fine ----
+        occupied = coarse & neg
+        # guaranteed-progress DDA skip past the cell boundary
+        t_skip = jnp.maximum(t_exit + 0.05 * step, t + 0.25 * step)
+        # enter fine mode two steps early so f_prev lands in the skipped cell
+        t_enter = jnp.maximum(t - 2.0 * step, t_start - step)
+
+        t_new = jnp.where(
+            coarse, jnp.where(occupied, t_enter, t_skip), tnext
+        )
+        coarse_new = jnp.where(
+            coarse, ~occupied, tnext >= fine_until
+        )
+        fine_until_new = jnp.where(occupied, t_exit, fine_until)
+        f_prev_new = jnp.where(coarse, 0.0, f_next)
+        v_prev_new = jnp.where(coarse, False, v_next)
+
+        alive_new = alive & ~front & ~back & (t_new < t_end)
+        return (
+            k + 1,
+            jnp.where(alive, t_new, t),
+            f_prev_new,
+            v_prev_new,
+            coarse_new,
+            fine_until_new,
+            alive_new,
+            hit_t,
+            back_t,
+        )
+
+    out = jax.lax.while_loop(cond, body, state0)
+    return MarchResult(hit_t=out[7], back_t=out[8])
+
+
 def shade(
     tsdf_local: jnp.ndarray,
     dims_g: Tuple[int, int, int],
@@ -319,12 +493,20 @@ def raycast(
     tnear, tfar = ray_aabb(org, dirs, box_max)
     t_start = jnp.maximum(tnear, 0.0) + step
 
-    # measured on TPU v5e at 256^3: the chunked march (big [H,W,C] gathers)
-    # is ~40% SLOWER than the stepwise march — XLA's gather costs ~7-13
-    # ns/element regardless of batching, and chunking only rounds the
-    # sample count up. march stays the default until the Pallas kernel
-    # path lands (see tools/PERF_NOTES.md).
-    res = march(vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs)
+    # Gather cost on TPU is ~7-13 ns/element no matter how it is phrased
+    # (tools/PERF_NOTES.md), so the only lever is issuing FEWER samples:
+    # march_hier skips coarse cells that cannot hold a crossing (one
+    # DDA iteration per empty 8^3 cell instead of `block` fine steps).
+    # The chunked variant (big [H,W,C] gathers) measured ~40% slower than
+    # stepwise and stays available for tests only.
+    block = 8
+    if Z % block == 0 and Y % block == 0 and X % block == 0:
+        occ = build_occupancy(vol.tsdf, block)
+        res = march_hier(
+            vol.tsdf, occ, org, dirs, t_start, tfar, step, inv_vs, block
+        )
+    else:
+        res = march(vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs)
     hit = (res.hit_t < res.back_t) & (res.hit_t < _INF)
 
     vertex, n, valid = shade(

@@ -217,3 +217,64 @@ def test_march_chunked_matches_march():
         np.testing.assert_allclose(
             np.asarray(a.back_t), np.asarray(b.back_t), rtol=1e-6
         )
+
+
+def test_march_hier_matches_march():
+    """The hierarchical (empty-space-skipping) march must find the same
+    surface as the stepwise march: same hit classification for ~all rays,
+    hit parameters within one step (its fine sample grid is phase-shifted
+    by the cell-entry backup, so refined t differs sub-step)."""
+    from kinfu_tpu.volume.raycast import (
+        build_occupancy,
+        camera_rays,
+        march,
+        march_hier,
+        ray_aabb,
+    )
+    from kinfu_tpu.geometry.se3 import identity_pose
+
+    params = PARAMS
+    scene = default_test_scene()
+    vol = create_volume(params.volume_dims)
+    color = jnp.zeros((INTR.height, INTR.width, 3), jnp.uint8)
+    # fuse from two poses so the volume has free space, surface band, AND
+    # unobserved regions (all three occupancy classes)
+    from kinfu_tpu.data.synthetic import make_orbit_trajectory
+
+    for pose_m in (np.eye(4), np.asarray(make_orbit_trajectory(8)[1])):
+        depth_m = scene.render_depth(pose_m, INTR)
+        vol = j_integrate(
+            vol, jnp.asarray(depth_m), color,
+            _vol2cam(pose_from_matrix(jnp.asarray(pose_m, jnp.float32)), params),
+            params,
+        )
+
+    Z, Y, X = vol.tsdf.shape
+    vsx, vsy, vsz = params.voxel_size
+    step = params.raycast_step_voxels * vsx
+    inv_vs = jnp.array([1 / vsx, 1 / vsy, 1 / vsz], jnp.float32)
+    org, dirs = camera_rays(_cam2vol(identity_pose(), params), INTR)
+    box_max = jnp.array(params.volume_range, jnp.float32)
+    tnear, tfar = ray_aabb(org, dirs, box_max)
+    t_start = jnp.maximum(tnear, 0.0) + step
+
+    a = march(vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs)
+    occ = build_occupancy(vol.tsdf, 8)
+    b = jax.jit(
+        lambda: march_hier(vol.tsdf, occ, org, dirs, t_start, tfar, step, inv_vs, 8)
+    )()
+
+    INF = 1e29
+    a_hit = (np.asarray(a.hit_t) < np.asarray(a.back_t)) & (np.asarray(a.hit_t) < INF)
+    b_hit = (np.asarray(b.hit_t) < np.asarray(b.back_t)) & (np.asarray(b.hit_t) < INF)
+    # classification agreement on ~all rays. The residual disagreements are
+    # sampling-phase artifacts on grazing rays: a negative sliver thinner
+    # than one step is seen by one sample grid and straddled by the other
+    # (march's grid starts at t_start, march_hier's at the occupied-cell
+    # backup point). march itself is equally sensitive to a shifted t_start.
+    assert np.mean(a_hit == b_hit) > 0.97
+    both = a_hit & b_hit
+    assert both.sum() > 0.2 * a_hit.size
+    dt = np.abs(np.asarray(a.hit_t)[both] - np.asarray(b.hit_t)[both])
+    assert np.percentile(dt, 99) < 2.5 * step
+    assert dt.max() < 8 * step
