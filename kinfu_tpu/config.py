@@ -60,6 +60,11 @@ class KinFuParams:
     #: (kinectfusion.cpp:184: translate(-range/2, -range/2, +0.5))
     volume_origin: Tuple[float, float, float] | None = None
     tsdf_max_weight: int = 64
+    #: fusion path: "gather" = per-voxel depth gather (reference semantics,
+    #: tsdf_volume.cu:59-68; slow on TPU), "warped" = separable face-warp
+    #: Pallas kernel (kinfu_tpu/ops/pallas_integrate.py), "auto" = warped on
+    #: TPU, gather elsewhere.
+    integrate_mode: str = "auto"
 
     # ---- raycast ----
     #: ray-march step in voxels (reference: 1 voxel, tsdf_volume.cu:174)

@@ -62,7 +62,25 @@ def integrate(
     global z index of vol's first slab — nonzero when `vol` is one Z-shard
     of a mesh-distributed volume (kinfu_tpu/parallel/): integration is
     embarrassingly parallel across shards.
+
+    Dispatches on `params.integrate_mode`: the separable face-warp Pallas
+    kernel when requested (and the shape supports it), else the per-voxel
+    gather below.
     """
+    mode = params.integrate_mode
+    if mode == "auto":
+        mode = "warped" if jax.default_backend() == "tpu" else "gather"
+    Zs, Ys, Xs = vol.tsdf.shape
+    if (
+        mode == "warped"
+        and isinstance(z_offset, int)
+        and z_offset == 0
+        and Ys % 8 == 0
+        and Xs % 128 == 0
+    ):
+        from kinfu_tpu.ops.pallas_integrate import integrate_warped
+
+        return integrate_warped(vol, depth_m, color_rgb, vol2cam, intr, params)
     Z, Y, X = vol.tsdf.shape
     h, w = depth_m.shape
     vsx, vsy, vsz = params.voxel_size
