@@ -69,15 +69,17 @@ class KinFuParams:
     # ---- raycast ----
     #: ray-march step in voxels (reference: 1 voxel, tsdf_volume.cu:174)
     raycast_step_voxels: float = 1.0
+    #: marcher: "step" = plain lockstep march on the global sample grid
+    #: (reference semantics, tsdf_volume.cu:228-241), "hier" = coarse-cell
+    #: empty-space skipping (same events, sample phase differs by O(step)),
+    #: "auto" = hier when the volume dims allow it. The sharded pipeline
+    #: honours "step"/"auto"; parity tests pin "step" on both sides.
+    raycast_mode: str = "auto"
 
     # ---- extraction ----
     #: fixed-size output buffer for extracted surface points
     #: (reference MAXPOINTNUM 2e6, device_types.hpp:12)
     max_extracted_points: int = 2_000_000
-
-    # ---- distributed ----
-    #: number of volume shards along Z (1 = single chip)
-    num_shards: int = 1
 
     def __post_init__(self):
         if self.trunc_dist is None:

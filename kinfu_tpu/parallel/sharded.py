@@ -89,9 +89,11 @@ def _local_t_interval(org_z, dir_z, z_lo, z_hi, t_start, t_end, step):
     # one-step overlap each side; duplicates resolve identically via pmin
     lo = jnp.maximum(t_start, t_in - 2 * step)
     hi = jnp.minimum(t_end, t_out + 2 * step)
-    # snap to the global grid t_start + k*step
-    k = jnp.ceil(jnp.maximum(lo - t_start, 0.0) / step)
-    return t_start + k * step, hi
+    # snap to the global grid t_start + k*step: return the integer offset so
+    # the marcher computes t = t_start + k*step with the SAME fp rounding as
+    # the single-device march (bit-identical sample positions)
+    k = jnp.ceil(jnp.maximum(lo - t_start, 0.0) / step).astype(jnp.int32)
+    return k, hi
 
 
 def sharded_raycast(
@@ -122,9 +124,11 @@ def sharded_raycast(
 
     z_lo = z0.astype(jnp.float32) * vsz
     z_hi = (z0 + Zl).astype(jnp.float32) * vsz
-    t_lo, t_hi = _local_t_interval(org[2], dirs[..., 2], z_lo, z_hi, t_start, tfar, step)
+    k_lo, t_hi = _local_t_interval(org[2], dirs[..., 2], z_lo, z_hi, t_start, tfar, step)
 
-    res = march(padded, (Zg, Y, X), z0h, org, dirs, t_lo, t_hi, step, inv_vs)
+    res = march(
+        padded, (Zg, Y, X), z0h, org, dirs, t_start, t_hi, step, inv_vs, k_start=k_lo
+    )
 
     # composite: earliest hit / earliest backface across shards
     hit_t = jax.lax.pmin(res.hit_t, axis_name)
@@ -158,10 +162,19 @@ def sharded_raycast(
 
 
 def _row_shard(img: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-    """Slice this device's block of image rows (for the ICP psum reduce)."""
+    """Slice this device's block of image rows (for the ICP psum reduce).
+
+    Rows are zero-padded up to a multiple of the axis size first — zero
+    rows have zero normals, which the ICP correspondence mask rejects, so
+    padding never contributes to the reduction. (Without the pad, `h // n`
+    would silently DROP the remainder rows from the sharded reduction and
+    the sharded pose would diverge from single-device.)"""
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    rows = img.shape[0] // n
+    rows = -(-img.shape[0] // n)
+    pad = rows * n - img.shape[0]
+    if pad:
+        img = jnp.pad(img, ((0, pad),) + ((0, 0),) * (img.ndim - 1))
     return jax.lax.dynamic_slice_in_dim(img, idx * rows, rows, axis=0)
 
 

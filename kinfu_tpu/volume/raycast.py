@@ -129,8 +129,16 @@ def march(
     t_end: jnp.ndarray,
     step: float,
     inv_vs: jnp.ndarray,
+    k_start: jnp.ndarray | None = None,
 ) -> MarchResult:
-    """Lockstep ray march over [t_start, t_end).
+    """Lockstep ray march over sample grid t_k = t_start + k*step, starting
+    at k = k_start (default 0) while t_k < t_end.
+
+    Sample positions are computed as t_start + k*step from an integer
+    counter — never accumulated — so a sharded caller that restricts each
+    shard to its own k-interval of the SAME global grid (passing the global
+    t_start and a per-ray integer `k_start`) samples bit-identical positions
+    to the single-device march, and events match exactly.
 
     tsdf_local: [local_Z, Y, X] int16 slab covering global z rows
     [z0h, z0h + local_Z). Samples outside the slab are invalid (the crossing
@@ -140,7 +148,13 @@ def march(
     local_z = tsdf_local.shape[0]
     tsdf_flat = tsdf_local.reshape(-1)
 
-    t0 = t_start
+    if k_start is None:
+        k_start = jnp.zeros(t_start.shape, jnp.int32)
+
+    def t_of(k):
+        return t_start + k.astype(jnp.float32) * step
+
+    t0 = t_of(k_start)
     p0 = org[None, None, :] + dirs * t0[..., None]
     f0, v0 = _sample_nearest(tsdf_flat, dims_g, z0h, local_z, p0 * inv_vs)
     alive0 = t0 < t_end
@@ -153,8 +167,10 @@ def march(
         return jnp.any(alive)
 
     def body(state):
-        tcur, f_prev, v_prev, alive, hit_t, back_t = state
-        tnext = tcur + step
+        k, f_prev, v_prev, alive, hit_t, back_t = state
+        knext = k + 1
+        tcur = t_of(k)
+        tnext = t_of(knext)
         p = org[None, None, :] + dirs * tnext[..., None]
         f_next, v_next = _sample_nearest(tsdf_flat, dims_g, z0h, local_z, p * inv_vs)
 
@@ -167,9 +183,9 @@ def march(
         back_t = jnp.where(back, jnp.minimum(back_t, tnext), back_t)
 
         alive = alive & ~front & ~back & (tnext < t_end)
-        return (tnext, f_next, v_next, alive, hit_t, back_t)
+        return (knext, f_next, v_next, alive, hit_t, back_t)
 
-    state = (t0, f0, v0, alive0, hit_t, back_t)
+    state = (k_start, f0, v0, alive0, hit_t, back_t)
     _, _, _, _, hit_t, back_t = jax.lax.while_loop(cond, body, state)
     return MarchResult(hit_t=hit_t, back_t=back_t)
 
@@ -500,13 +516,22 @@ def raycast(
     # The chunked variant (big [H,W,C] gathers) measured ~40% slower than
     # stepwise and stays available for tests only.
     block = 8
-    if Z % block == 0 and Y % block == 0 and X % block == 0:
+    mode = params.raycast_mode
+    if mode == "auto":
+        mode = (
+            "hier"
+            if (Z % block == 0 and Y % block == 0 and X % block == 0)
+            else "step"
+        )
+    if mode == "hier":
         occ = build_occupancy(vol.tsdf, block)
         res = march_hier(
             vol.tsdf, occ, org, dirs, t_start, tfar, step, inv_vs, block
         )
-    else:
+    elif mode == "step":
         res = march(vol.tsdf, (Z, Y, X), 0, org, dirs, t_start, tfar, step, inv_vs)
+    else:
+        raise ValueError(f"unknown raycast_mode: {params.raycast_mode!r}")
     hit = (res.hit_t < res.back_t) & (res.hit_t < _INF)
 
     vertex, n, valid = shade(

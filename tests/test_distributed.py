@@ -19,11 +19,17 @@ from kinfu_tpu.pipeline.kinfu import init_state, make_step_fn
 from kinfu_tpu.volume.tsdf import tsdf_to_float
 
 INTR = Intrinsics(width=160, height=120, fx=140.0, fy=140.0, cx=79.5, cy=59.5)
+# raycast_mode is pinned to "step" so both pipelines march the identical
+# global sample grid: the sharded marcher is grid-snapped plain `march`
+# (parallel/sharded.py), while single-device "auto" would pick `march_hier`,
+# whose sample phase legitimately differs by O(step) — a like-for-like
+# comparison needs the same marcher on both sides.
 PARAMS = KinFuParams(
     pyramid_height=2,
     icp_iters=(4, 8),
     volume_dims=(64, 64, 64),
     volume_range=(3.0, 3.0, 3.0),
+    raycast_mode="step",
 )
 
 pytestmark = pytest.mark.skipif(
@@ -58,7 +64,7 @@ def test_sharded_matches_single_device():
     for s, d in zip(s_outs, d_outs):
         assert bool(s.tracking_ok) and bool(d.tracking_ok)
         np.testing.assert_allclose(
-            np.asarray(s.pose_matrix), np.asarray(d.pose_matrix), atol=5e-4
+            np.asarray(s.pose_matrix), np.asarray(d.pose_matrix), atol=1e-4
         )
 
     # fused volumes agree (integration is deterministic given the pose)
