@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: TSDF fusion against an axis-aligned face image.
+"""Pallas TPU kernel: TSDF fusion against axis-aligned face images.
 
 Replaces the per-voxel random depth gather of the jnp integrate path
 (kinfu_tpu/volume/integrate.py, parity with tsdf_volume.cu:41-110) with a
@@ -7,22 +7,33 @@ volume z-slab, the face pixel row v depends only on the voxel y index and
 the column u only on the voxel x index (both affine), so an [8,128] voxel
 tile reads from a statically tiny face window:
 
-  - a per-slab mip level keeps the resample slope <= 0.5 face px / voxel,
-    so 8 voxel rows span <= 4 face rows -> TWO 8-aligned row windows cover
-    every tile, and one `jnp.take_along_axis` per window picks rows
-    (Mosaic lowers it to tpu.dynamic_gather when the gathered dim fits a
-    vreg: <= 8 sublanes — see kinfu_tpu/ops/tilegather.py);
+  - a per-slab mip level keeps the resample slope <= 2 face px / voxel
+    (sub-half-voxel observation quantization), so 8 voxel rows span <= 16
+    face rows -> FOUR 8-aligned row windows cover every tile, and one
+    `jnp.take_along_axis` per window picks rows (Mosaic lowers it to
+    tpu.dynamic_gather when the gathered dim fits a vreg: <= 8 sublanes —
+    see kinfu_tpu/ops/tilegather.py);
   - columns are covered by the face's static 128-lane chunks with one
     lane-gather + select each.
 
 Per tile that is ~24 register shuffles instead of 1024 serial gather
 elements. The volume streams through VMEM one z-slab per grid step with
-in-place aliasing; the face (range + color mips, ~4.6 MB) stays resident.
+in-place aliasing; the face (range + color mips, ~4.9 MB) stays resident.
+
+Full-frustum coverage at any camera orientation comes from running ONE
+SWEEP PER CUBE FACE the frustum touches (`integrate_warped` with
+faces="auto"): each face's sweep sees the volume with its axes permuted
+(and the sweep axis flipped for negative faces) so it is always a "+z'"
+sweep, and updates exactly the voxels it owns (dominant |d| component,
+z>y>x tie-break — see facewarp.face_frames). A camera looking near a
+volume axis needs one sweep; the worst-case corner direction needs three.
+Faces the frustum provably misses are skipped via lax.cond.
 
 Update math is identical to the jnp path (weighted TSDF average with
 weight clamp, color averaged within the half-truncation band,
 tsdf_volume.cu:69-96) except distances are along the ray rather than z
-(sdf' = lambda * sdf, lambda in [1, 1.25]) — recorded in DIVERGENCES.md.
+(sdf' = lambda * sdf, lambda in [1, 1.25]) — DIVERGENCES.md item 17; mip
+sampling and the near-camera slope limit are items 18-19.
 """
 
 from __future__ import annotations
@@ -31,41 +42,75 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kinfu_tpu.config import KinFuParams
 from kinfu_tpu.geometry.intrinsics import Intrinsics
 from kinfu_tpu.geometry.se3 import Pose
-from kinfu_tpu.ops.facewarp import Face, FaceSpec, build_face, default_face_spec
+from kinfu_tpu.ops.facewarp import (
+    FaceFrame,
+    FaceSpec,
+    build_face,
+    default_face_spec,
+    face_frames,
+)
 from kinfu_tpu.volume.tsdf import SHORTMAX, TSDFVolume
 
-_N_WINDOWS = 2  # row windows per tile (slope <= 0.5 -> span <= 4 rows + align)
+#: row windows per tile: slope <= _S_MAX -> an 8-voxel strip spans
+#: <= 7*_S_MAX + 1.5 rows; with the 8-row alignment loss, _N_WINDOWS * 8
+#: must exceed that by 7 (coverage bound: slope <= (8*N - 8.5) / 7)
+_N_WINDOWS = 4
+#: mip target: finest level with slope <= _S_MAX face px / voxel. Higher =
+#: finer observation sampling (lateral quantization error = 0.5/_S_MAX .. 1
+#: voxels) but more row windows.
+_S_MAX = 2.0
+#: hard coverage limit for the clamped coarsest level (within the window
+#: bound 3.35 for 4 windows); slabs beyond it are masked (DIVERGENCES.md 19)
+_S_COVER = 3.0
+
+#: a face sweep is considered needed when any sampled frustum direction d
+#: has (face axis component) >= _FACE_MARGIN * ||d||_inf — ~17 deg of slack
+#: beyond the exact ownership cone, safely above the 7x7 sampling gap
+_FACE_MARGIN = 0.75
 
 
 def _mip_scalars(spec: FaceSpec, slope: jnp.ndarray):
-    """Per-slab mip level scalars from the full-res slope (face px/voxel):
-    level L = smallest with slope/2^L <= 0.5, clamped to the pyramid."""
+    """Per-slab mip scalars from the full-res slope (face px/voxel):
+    level L = smallest with slope/2^L <= _S_MAX, clamped to the pyramid —
+    the finest level whose _N_WINDOWS 8-row windows still cover an 8-voxel
+    strip (the coarser the mip, the larger the lateral quantization error,
+    so the criterion sits near the coverage bound).
+    Returns (inv_scale, row_off, width, h_pad, cover_ok): `width` is the
+    level's true pixel count, `h_pad` its 8-aligned row block, and
+    `cover_ok` is False when even the clamped level's slope exceeds 1.0 —
+    the bound past which two 8-row windows can no longer cover an 8-voxel
+    strip (voxels that close to the camera are masked, DIVERGENCES.md 19)."""
     lvl = jnp.zeros((), jnp.int32)
     for l in range(1, spec.levels):
-        lvl = lvl + (slope > 0.5 * (1 << (l - 1))).astype(jnp.int32)
+        lvl = lvl + (slope > _S_MAX * (1 << (l - 1))).astype(jnp.int32)
     inv_scale = jnp.float32(1.0)
     row_off = jnp.int32(spec.row_offsets[0])
     width = jnp.int32(spec.size)
+    h_pad = jnp.int32(spec.level_rows[0])
     for l in range(1, spec.levels):
         sel = lvl == l
         inv_scale = jnp.where(sel, jnp.float32(1.0 / (1 << l)), inv_scale)
         row_off = jnp.where(sel, jnp.int32(spec.row_offsets[l]), row_off)
         width = jnp.where(sel, jnp.int32(spec.size >> l), width)
-    return inv_scale, row_off, width
+        h_pad = jnp.where(sel, jnp.int32(spec.level_rows[l]), h_pad)
+    cover_ok = slope * inv_scale <= _S_COVER
+    return inv_scale, row_off, width, h_pad, cover_ok
 
 
 def _window_gather(range_ref, color_ref, ws_list, v_loc, u_mip, n_chunks):
-    """out[i,j] = face[v[i,j], u[i,j]] for range (f32) + color (i32).
+    """out[i,j] = face[v[i], u[i,j]] for range (f32) + color (i32).
 
-    `ws_list`: static-count window starts (8-aligned scalars);
-    `v_loc[k]`: row index local to window k, [8,128] i32 (masked by range);
-    `u_mip`: [8,128] i32 column index, pre-clipped to [0, width).
+    `ws_list`: static-count window starts (8-aligned scalars, in-bounds);
+    `v_loc[k]`: row index local to window k, [8,1] i32 lane-constant
+    (separable: v depends only on the voxel y index; masked by range);
+    `u_mip`: [8,128] i32 column index, pre-clipped to [0, stack width).
     """
     uchunk = u_mip // 128
     uloc = u_mip - uchunk * 128
@@ -74,11 +119,11 @@ def _window_gather(range_ref, color_ref, ws_list, v_loc, u_mip, n_chunks):
     for k, ws in enumerate(ws_list):
         win_r = range_ref[pl.ds(ws, 8), :].astype(jnp.float32)
         win_c = color_ref[pl.ds(ws, 8), :]
-        ridx = v_loc[k]
-        rmask = (ridx >= 0) & (ridx < 8)
-        ridx_c = jnp.clip(ridx, 0, 7)
-        rows_r = jnp.take_along_axis(win_r, ridx_c, axis=0)
-        rows_c = jnp.take_along_axis(win_c, ridx_c, axis=0)
+        ridx = v_loc[k]  # [8,1]
+        rmask = (ridx >= 0) & (ridx < 8)  # [8,1]
+        ridx_full = jnp.broadcast_to(jnp.clip(ridx, 0, 7), win_r.shape)
+        rows_r = jnp.take_along_axis(win_r, ridx_full, axis=0)
+        rows_c = jnp.take_along_axis(win_c, ridx_full, axis=0)
         for c in range(n_chunks):
             sel = rmask & (uchunk == c)
             lane_r = jnp.take_along_axis(rows_r[:, c * 128 : (c + 1) * 128], uloc, 1)
@@ -94,7 +139,7 @@ def _kernel(
     color_ref,  # VMEM [stack_rows, size] i32
     tsdf_ref,
     weight_ref,
-    col_ref,  # volume slab blocks [1, Y, X]
+    col_ref,  # volume slab blocks [1, Y, X] (primed axes)
     tsdf_out,
     weight_out,
     col_out,
@@ -103,6 +148,8 @@ def _kernel(
     y_dim: int,
     x_dim: int,
     unroll: int,
+    gt_x: bool,
+    gt_y: bool,
 ):
     z = pl.program_id(0)
     cx, cy, cz = prm_ref[0], prm_ref[1], prm_ref[2]
@@ -114,7 +161,7 @@ def _kernel(
     dz_ok = dz > 1e-3
     dzs = jnp.maximum(dz, 1e-3)
     slope = focal * jnp.maximum(vsx, vsy) / dzs
-    inv_scale, row_off, width = _mip_scalars(spec, slope)
+    inv_scale, row_off, width, h_pad, cover_ok = _mip_scalars(spec, slope)
     h_lvl = width  # square face: level height == level width
 
     # affine face coords in MIP units: u = au*x + bu, v = av*y + bv
@@ -137,33 +184,46 @@ def _kernel(
         y0f = y0.astype(jnp.float32)
         # window starts from the strip's first row (av >= 0 -> min at y0)
         vmin = jnp.floor(av * y0f + bv).astype(jnp.int32)
-        ws_local = jnp.clip((vmin // 8) * 8, 0, h_lvl - 8)
+        ws_base = (vmin // 8) * 8
         row_sl = pl.ds(pl.multiple_of(y0, 8), 8)
         dy = dyr + y0f * vsy  # [8,1] metres
-        v_mip = jnp.rint(av * (y0f + jax.lax.broadcasted_iota(jnp.float32, (8, 1), 0)) + bv).astype(jnp.int32)
+        v_mip = jnp.rint(
+            av * (y0f + jax.lax.broadcasted_iota(jnp.float32, (8, 1), 0)) + bv
+        ).astype(jnp.int32)
         v_ok = (v_mip >= 0) & (v_mip < h_lvl)
+
+        # per-window 8-aligned starts, clamped inside the level's padded row
+        # block so every 8-row read stays in bounds (rows past h_lvl are
+        # padding; v_ok masks them)
+        ws_list, v_loc = [], []
+        for k in range(_N_WINDOWS):
+            ws_k = jnp.clip(ws_base + 8 * k, 0, h_pad - 8)
+            ws_list.append(pl.multiple_of(row_off + ws_k, 8))
+            v_loc.append(v_mip - ws_k)
 
         for xc in range(x_chunks):
             x0 = xc * 128
             dx = dxl + jnp.float32(x0) * vsx  # [1,128] metres
             u_mip = jnp.rint(
-                au * (jnp.float32(x0) + jax.lax.broadcasted_iota(jnp.float32, (1, 128), 1)) + bu
+                au
+                * (jnp.float32(x0) + jax.lax.broadcasted_iota(jnp.float32, (1, 128), 1))
+                + bu
             ).astype(jnp.int32)
             u_ok = (u_mip >= 0) & (u_mip < width)
             u_cl = jnp.clip(jnp.broadcast_to(u_mip, (8, 128)), 0, spec.size - 1)
 
-            ws_list, v_loc = [], []
-            for k in range(_N_WINDOWS):
-                ws = pl.multiple_of(row_off + ws_local + 8 * k, 8)
-                ws_list.append(ws)
-                v_loc.append(jnp.broadcast_to(v_mip - (ws_local + 8 * k), (8, 128)))
             r_obs, c_obs = _window_gather(
                 range_ref, color_ref, ws_list, v_loc, u_cl, n_chunks
             )
 
-            # cube-face cone: |dx|,|dy| <= dz (the +z face owns this voxel)
-            cone = (jnp.abs(dx) <= dzs) & (jnp.abs(dy) <= dzs) & dz_ok
-            valid = cone & jnp.broadcast_to(u_ok, (8, 128)) & v_ok & (r_obs > 0)
+            # exclusive cube-face ownership (facewarp.face_frames): this
+            # face owns the voxel iff |d_z'| is the dominant component under
+            # the z>y>x tie-break, expressed via the static gt_x/gt_y flags
+            adx, ady = jnp.abs(dx), jnp.abs(dy)
+            own_x = (adx < dzs) if gt_x else (adx <= dzs)
+            own_y = (ady < dzs) if gt_y else (ady <= dzs)
+            own = own_x & own_y & dz_ok & cover_ok
+            valid = own & jnp.broadcast_to(u_ok, (8, 128)) & v_ok & (r_obs > 0)
 
             r_vox = jnp.sqrt(dx * dx + dy * dy + dz * dz) * 1000.0  # mm
             sdf = r_obs - r_vox
@@ -219,6 +279,129 @@ def _kernel(
     jax.lax.fori_loop(0, n_strips // unroll, body, 0)
 
 
+def _sweep_face(
+    tsdf: jnp.ndarray,
+    weight: jnp.ndarray,
+    col_i32: jnp.ndarray,
+    frame: FaceFrame,
+    depth_m: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    vol2cam: Pose,
+    intr: Intrinsics,
+    params: KinFuParams,
+    spec: FaceSpec,
+    interpret: bool,
+):
+    """One separable fusion sweep over the voxels owned by `frame`'s face.
+
+    Arrays arrive in natural [Z, Y, X] order; they are permuted into the
+    face's primed frame (sweep axis leading, flipped for negative faces),
+    swept, and permuted back. Voxels the face does not own are untouched.
+    """
+    dims_xyz = (tsdf.shape[2], tsdf.shape[1], tsdf.shape[0])  # (X, Y, Z)
+    vs = params.voxel_size
+
+    def prime(a):
+        a = jnp.transpose(a, frame.axes)
+        return jnp.flip(a, axis=0) if frame.flip else a
+
+    def unprime(a):
+        a = jnp.flip(a, axis=0) if frame.flip else a
+        inv = tuple(int(i) for i in np.argsort(frame.axes))
+        return jnp.transpose(a, inv)
+
+    t_p, w_p, c_p = prime(tsdf), prime(weight), prime(col_i32)
+    Zp, Yp, Xp = t_p.shape
+    assert Yp % 8 == 0 and Xp % 128 == 0, (frame.name, t_p.shape)
+
+    # primed voxel sizes: vs'_i = vs of the original axis primed axis i maps to
+    vs_p = tuple(float(vs[int(np.argmax(np.abs(frame.D[i])))]) for i in range(3))
+
+    face = build_face(
+        depth_m, color_rgb, vol2cam, intr, spec,
+        frame=frame, dims=dims_xyz, voxel_size=vs,
+    )
+    prm = jnp.concatenate(
+        [
+            face.centre,
+            jnp.array(
+                [
+                    vs_p[0],
+                    vs_p[1],
+                    vs_p[2],
+                    spec.focal,
+                    spec.centre,
+                    params.trunc_dist * 1000.0,
+                    float(params.tsdf_max_weight),
+                    0, 0, 0, 0, 0, 0,
+                ],
+                jnp.float32,
+            ),
+        ]
+    )
+
+    kern = functools.partial(
+        _kernel,
+        spec=spec,
+        y_dim=Yp,
+        x_dim=Xp,
+        unroll=4 if Yp % 32 == 0 else 1,
+        gt_x=frame.gt_x,
+        gt_y=frame.gt_y,
+    )
+    slab = lambda: pl.BlockSpec((1, Yp, Xp), lambda z: (z, 0, 0))  # noqa: E731
+    whole = pl.BlockSpec(
+        (spec.stack_rows, spec.size), lambda z: (0, 0), memory_space=pltpu.VMEM
+    )
+    t_n, w_n, c_n = pl.pallas_call(
+        kern,
+        grid=(Zp,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            whole,
+            whole,
+            slab(),
+            slab(),
+            slab(),
+        ],
+        out_specs=[slab(), slab(), slab()],
+        out_shape=[
+            jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int16),
+            jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int16),
+            jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int32),
+        ],
+        input_output_aliases={3: 0, 4: 1, 5: 2},
+        interpret=interpret,
+    )(prm, face.range_mm, face.color, t_p, w_p, c_p)
+
+    return unprime(t_n), unprime(w_n), unprime(c_n)
+
+
+def faces_needed(vol2cam: Pose, intr: Intrinsics, margin: float = _FACE_MARGIN):
+    """Traced per-face flags: True when any sampled frustum direction is
+    within `margin` of the face's ownership cone. Samples a 7x7 pixel grid
+    (~10 deg spacing at the reference FOV; the margin expands each cone by
+    ~17 deg, so slivers between samples cannot be missed)."""
+    R, _ = vol2cam
+    n = 7
+    u = jnp.linspace(0.0, intr.width - 1.0, n)
+    v = jnp.linspace(0.0, intr.height - 1.0, n)
+    lx = (u[None, :] - intr.cx) / intr.fx
+    ly = (v[:, None] - intr.cy) / intr.fy
+    d_cam = jnp.stack(
+        [jnp.broadcast_to(lx, (n, n)), jnp.broadcast_to(ly, (n, n)), jnp.ones((n, n))],
+        axis=-1,
+    )
+    d_vol = jnp.einsum("ji,hwj->hwi", R, d_cam)  # R^T @ d_cam
+    dinf = jnp.max(jnp.abs(d_vol), axis=-1)
+    flags = {}
+    for frame in face_frames():
+        axis_row = jnp.asarray(frame.D[2], jnp.float32)
+        comp = jnp.einsum("k,hwk->hw", axis_row, d_vol)
+        flags[frame.name] = jnp.any(comp >= margin * dinf)
+    return flags
+
+
 def integrate_warped(
     vol: TSDFVolume,
     depth_m: jnp.ndarray,
@@ -228,76 +411,51 @@ def integrate_warped(
     params: KinFuParams,
     spec: FaceSpec | None = None,
     interpret: bool | None = None,
+    faces: str | tuple = "auto",
 ) -> TSDFVolume:
-    """Fuse one frame via the face-warp + separable Pallas kernel.
+    """Fuse one frame via face-warp + separable Pallas sweeps.
 
-    Covers voxels in the camera's +z cube-map cone (|d_x|,|d_y| <= d_z in
-    volume coords) — the whole frustum whenever the camera looks within
-    ~14 deg of the volume +z axis, the KinectFusion operating regime the
-    reference's own volume placement assumes (kinectfusion.cpp:181-186).
-    Voxels outside the cone keep their state for this frame (the
-    axis-permuted sweeps that pick them up are tracked in DIVERGENCES.md).
+    faces="auto" runs every cube-face sweep the frustum touches (gated by
+    traced `faces_needed` flags via lax.cond — full-frustum coverage at any
+    camera orientation, like tsdf_volume.cu:49-68). Passing an explicit
+    tuple of face names (e.g. ("+z",)) runs exactly those sweeps with no
+    gating — tests and known-orientation callers.
     """
     if spec is None:
         spec = default_face_spec()
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     Z, Y, X = vol.tsdf.shape
-    assert Y % 8 == 0 and X % 128 == 0, (Y, X)
 
-    face = build_face(depth_m, color_rgb, vol2cam, intr, spec)
-    vsx, vsy, vsz = params.voxel_size
-    prm = jnp.array(
-        [
-            face.centre[0],
-            face.centre[1],
-            face.centre[2],
-            vsx,
-            vsy,
-            vsz,
-            spec.focal,
-            spec.centre,
-            params.trunc_dist * 1000.0,
-            float(params.tsdf_max_weight),
-            0,
-            0,
-            0,
-            0,
-            0,
-            0,
-        ],
-        jnp.float32,
-    )
-
+    frames = {f.name: f for f in face_frames()}
     col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
-    kern = functools.partial(
-        _kernel, spec=spec, y_dim=Y, x_dim=X, unroll=4 if Y % 32 == 0 else 1
-    )
-    slab = lambda s: pl.BlockSpec((1, Y, X), lambda z: (z, 0, 0))  # noqa: E731
-    whole = pl.BlockSpec(
-        (spec.stack_rows, spec.size), lambda z: (0, 0), memory_space=pltpu.VMEM
-    )
-    tsdf_n, weight_n, col_n = pl.pallas_call(
-        kern,
-        grid=(Z,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            whole,
-            whole,
-            slab(0),
-            slab(1),
-            slab(2),
-        ],
-        out_specs=[slab(0), slab(1), slab(2)],
-        out_shape=[
-            jax.ShapeDtypeStruct((Z, Y, X), jnp.int16),
-            jax.ShapeDtypeStruct((Z, Y, X), jnp.int16),
-            jax.ShapeDtypeStruct((Z, Y, X), jnp.int32),
-        ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
-        interpret=interpret,
-    )(prm, face.range_mm, face.color, vol.tsdf, vol.weight, col_i32)
+    arrays = (vol.tsdf, vol.weight, col_i32)
 
+    sweep = functools.partial(
+        _sweep_face,
+        depth_m=depth_m,
+        color_rgb=color_rgb,
+        vol2cam=vol2cam,
+        intr=intr,
+        params=params,
+        spec=spec,
+        interpret=interpret,
+    )
+
+    if faces == "auto":
+        flags = faces_needed(vol2cam, intr)
+        for name, frame in frames.items():
+            arrays = jax.lax.cond(
+                flags[name],
+                lambda a, fr=frame: sweep(*a, fr),
+                lambda a: a,
+                arrays,
+            )
+    else:
+        for name in faces:
+            arrays = sweep(*arrays, frames[name])
+
+    tsdf_n, weight_n, col_n = arrays
     return TSDFVolume(
         tsdf=tsdf_n,
         weight=weight_n,

@@ -71,11 +71,15 @@ def integrate(
     if mode == "auto":
         mode = "warped" if jax.default_backend() == "tpu" else "gather"
     Zs, Ys, Xs = vol.tsdf.shape
+    # the multi-face sweeps permute the volume axes, so X and Y must both be
+    # lane-tileable (each becomes the lane dim of some face) and Z
+    # sublane-tileable
     if (
         mode == "warped"
         and isinstance(z_offset, int)
         and z_offset == 0
-        and Ys % 8 == 0
+        and Zs % 8 == 0
+        and Ys % 128 == 0
         and Xs % 128 == 0
     ):
         from kinfu_tpu.ops.pallas_integrate import integrate_warped
