@@ -48,6 +48,11 @@ class KinFuParams:
     #: reference runs iters[2]=10 at the coarsest level first
     #: (icp_registration.cpp:21-27).
     icp_iters: Tuple[int, ...] = (4, 5, 10)
+    #: association gather + reduction: "gather" = jnp (reference semantics,
+    #: rigid_icp.cu:46-112), "warped" = fused Pallas iteration
+    #: (kinfu_tpu/ops/pallas_icp.py), "auto" = warped on TPU. The sharded
+    #: (psum) path always uses "gather".
+    icp_mode: str = "auto"
 
     # ---- TSDF volume (kinectfusion.cpp:181-186) ----
     #: voxels per axis as (X, Y, Z)
@@ -72,9 +77,15 @@ class KinFuParams:
     #: marcher: "step" = plain lockstep march on the global sample grid
     #: (reference semantics, tsdf_volume.cu:228-241), "hier" = coarse-cell
     #: empty-space skipping (same events, sample phase differs by O(step)),
-    #: "auto" = hier when the volume dims allow it. The sharded pipeline
-    #: honours "step"/"auto"; parity tests pin "step" on both sides.
+    #: "warped" = cube-face plane-sweep Pallas kernel
+    #: (kinfu_tpu/ops/pallas_raycast.py), "auto" = warped on TPU when the
+    #: volume dims allow it, else hier/step. The sharded pipeline marches
+    #: directly (step grid); parity tests pin "step" on both sides.
     raycast_mode: str = "auto"
+    #: (size_px, focal_px) of the virtual face grid used by the warped
+    #: raycast; size must be a multiple of 128 and tan(cone) = centre/focal
+    #: must exceed 1 (the +-45 deg ownership cone)
+    raycast_face: Tuple[int, float] = (640, 261.0)
 
     # ---- extraction ----
     #: fixed-size output buffer for extracted surface points

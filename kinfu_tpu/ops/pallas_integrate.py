@@ -76,6 +76,11 @@ _S_COVER = 3.0
 _FACE_MARGIN = 0.75
 
 
+def _fiota(shape, dim):
+    """float32 iota via int32 (Mosaic rejects float tpu.iota)."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+
 def _mip_scalars(spec: FaceSpec, slope: jnp.ndarray):
     """Per-slab mip scalars from the full-res slope (face px/voxel):
     level L = smallest with slope/2^L <= _S_MAX, clamped to the pyramid —
@@ -171,9 +176,9 @@ def _kernel(
     bv = (-focal * cy / dzs + centre) * inv_scale
 
     dxl = (
-        jax.lax.broadcasted_iota(jnp.float32, (1, 128), 1) * vsx - cx
+        _fiota((1, 128), 1) * vsx - cx
     )  # per-chunk base added in the loop
-    dyr = jax.lax.broadcasted_iota(jnp.float32, (8, 1), 0) * vsy - cy
+    dyr = _fiota((8, 1), 0) * vsy - cy
 
     n_chunks = spec.size // 128
     x_chunks = x_dim // 128
@@ -188,7 +193,7 @@ def _kernel(
         row_sl = pl.ds(pl.multiple_of(y0, 8), 8)
         dy = dyr + y0f * vsy  # [8,1] metres
         v_mip = jnp.rint(
-            av * (y0f + jax.lax.broadcasted_iota(jnp.float32, (8, 1), 0)) + bv
+            av * (y0f + _fiota((8, 1), 0)) + bv
         ).astype(jnp.int32)
         v_ok = (v_mip >= 0) & (v_mip < h_lvl)
 
@@ -206,7 +211,7 @@ def _kernel(
             dx = dxl + jnp.float32(x0) * vsx  # [1,128] metres
             u_mip = jnp.rint(
                 au
-                * (jnp.float32(x0) + jax.lax.broadcasted_iota(jnp.float32, (1, 128), 1))
+                * (jnp.float32(x0) + _fiota((1, 128), 1))
                 + bu
             ).astype(jnp.int32)
             u_ok = (u_mip >= 0) & (u_mip < width)

@@ -127,8 +127,17 @@ def rigid_icp(
 
     With `axis_name`, cur maps are row-shards and the reduction is a psum
     (see _normal_equations); pose updates then happen replicated on every
-    device."""
+    device. Single-device iterations dispatch the association gather +
+    27-term reduction to the Pallas kernel (ops/pallas_icp.py) when
+    params.icp_mode selects it ("auto" = on TPU)."""
     import math
+
+    mode = params.icp_mode
+    if mode == "auto":
+        mode = "warped" if jax.default_backend() == "tpu" else "gather"
+    use_warped = mode == "warped" and axis_name is None
+    if use_warped:
+        from kinfu_tpu.ops.pallas_icp import icp_normal_eqs_warped
 
     sin_thres = math.sin(math.radians(params.icp_angle_threshold))
     pose0 = Pose(jnp.eye(3, dtype=jnp.float32), jnp.zeros((3,), jnp.float32))
@@ -143,17 +152,29 @@ def rigid_icp(
 
         def body(_, carry, cv=cv, cn=cn, pv=pv, pn=pn, lintr=lintr):
             pose, ok, _ = carry
-            A, b, ninl = _normal_equations(
-                pose,
-                cv,
-                cn,
-                pv,
-                pn,
-                lintr,
-                params.icp_dist_threshold,
-                sin_thres,
-                axis_name=axis_name,
-            )
+            if use_warped:
+                A, b, ninl = icp_normal_eqs_warped(
+                    pose,
+                    cv,
+                    cn,
+                    pv,
+                    pn,
+                    lintr,
+                    params.icp_dist_threshold,
+                    sin_thres,
+                )
+            else:
+                A, b, ninl = _normal_equations(
+                    pose,
+                    cv,
+                    cn,
+                    pv,
+                    pn,
+                    lintr,
+                    params.icp_dist_threshold,
+                    sin_thres,
+                    axis_name=axis_name,
+                )
             det = jnp.linalg.det(A.astype(jnp.float32))
             good = (jnp.abs(det) >= 1e-15) & ~jnp.isnan(det)
             x = jnp.linalg.solve(

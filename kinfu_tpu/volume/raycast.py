@@ -517,12 +517,18 @@ def raycast(
     # stepwise and stays available for tests only.
     block = 8
     mode = params.raycast_mode
+    warp_ok = Z % 8 == 0 and Y % 128 == 0 and X % 128 == 0
     if mode == "auto":
-        mode = (
-            "hier"
-            if (Z % block == 0 and Y % block == 0 and X % block == 0)
-            else "step"
-        )
+        if jax.default_backend() == "tpu" and warp_ok:
+            mode = "warped"
+        elif Z % block == 0 and Y % block == 0 and X % block == 0:
+            mode = "hier"
+        else:
+            mode = "step"
+    if mode == "warped":
+        from kinfu_tpu.ops.pallas_raycast import raycast_warped
+
+        return raycast_warped(vol, cam2vol, intr, params)
     if mode == "hier":
         occ = build_occupancy(vol.tsdf, block)
         res = march_hier(
