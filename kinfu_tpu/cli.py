@@ -53,6 +53,10 @@ def _params_from_args(args, dataset_depth_scale: float):
 def _open_dataset(path: str, kind: str):
     if kind == "auto":
         kind = "tum" if os.path.exists(os.path.join(path, "rgb.txt")) else "bundled"
+    if kind == "icl":
+        from kinfu_tpu.data.icl_nuim import ICLNuimDataset
+
+        return ICLNuimDataset(path), "icl"
     if kind == "tum":
         from kinfu_tpu.data.tum import TUMDataset
 
@@ -78,8 +82,16 @@ def cmd_run(args) -> int:
         start = sess.frame_count - 1
         print(f"resumed from {args.resume} at frame {start}")
     else:
-        sess = KinFuSession(intr, params)
+        sess = KinFuSession(
+            intr,
+            params,
+            relocalize=args.relocalize,
+            streaming=args.streaming,
+        )
         start = 0
+
+    if args.dump_renders:
+        os.makedirs(args.dump_renders, exist_ok=True)
 
     rec = MetricsRecorder(jsonl_path=args.metrics, echo=not args.quiet)
     n = len(ds) if args.frames is None else min(args.frames, len(ds))
@@ -98,6 +110,26 @@ def cmd_run(args) -> int:
                 icp_inliers=getattr(sess, "last_icp_inliers", 0),
             )
         )
+        if args.dump_renders and i % max(1, args.dump_every) == 0:
+            # the reference shows Scene (Phong of the fused model), Depth,
+            # Color every frame (main.cpp:77-86); golden analogues:
+            # doc/raycast-map.png / raycast-normal.png / color-map.png
+            from kinfu_tpu.io.images import write_color_png, write_depth_png
+
+            d = args.dump_renders
+            write_color_png(
+                os.path.join(d, f"{i:06d}_phong.png"),
+                sess.get_render_map(sess.PHONG),
+            )
+            write_color_png(
+                os.path.join(d, f"{i:06d}_normal.png"),
+                sess.get_render_map(sess.NORMAL),
+            )
+            write_color_png(os.path.join(d, f"{i:06d}_color.png"), color)
+            write_depth_png(
+                os.path.join(d, f"{i:06d}_depth.png"),
+                np.asarray(depth).astype(np.uint16),
+            )
         if args.checkpoint and args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             from kinfu_tpu.io.checkpoint import save_checkpoint
 
@@ -172,6 +204,77 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Replica-parallel eval sweep: sequences x configs across the mesh
+    (parallel/sweep.py). Emits one JSON line per (sequence, config) with
+    ATE and per-frame latency, then a summary table."""
+    import json
+    import time
+
+    from kinfu_tpu.data.synthetic import default_test_scene, make_orbit_trajectory
+    from kinfu_tpu.eval.ate import ate_rmse
+    from kinfu_tpu.geometry.intrinsics import Intrinsics
+    from kinfu_tpu.parallel.sweep import replica_mesh, sweep_sequences
+
+    intr = Intrinsics(
+        width=args.width,
+        height=args.height,
+        fx=525.0 * args.width / 640,
+        fy=525.0 * args.width / 640,
+        cx=args.width / 2 - 0.5,
+        cy=args.height / 2 - 0.5,
+    )
+    scene = default_test_scene()
+    sequences, gts, names = [], [], []
+    for k in range(args.synthetic):
+        step = 0.2 + 0.15 * k  # distinct trajectories per replica
+        traj = make_orbit_trajectory(args.frames, angle_step_deg=step)
+        frames = [scene.render_frame(T, intr) for T in traj]
+        depths = np.stack([d for d, _ in frames])
+        colors = np.stack([c for _, c in frames])
+        sequences.append((depths, colors))
+        gts.append([np.linalg.inv(traj[0]) @ T for T in traj])
+        names.append(f"orbit_{step:.2f}deg")
+    for root in args.data or []:
+        ds, kind = _open_dataset(root, "auto")
+        n = min(args.frames, len(ds))
+        frames = [ds[i] for i in range(n)]
+        depths = np.stack([np.asarray(d, np.float32) for _, d in frames])
+        colors = np.stack([c for c, _ in frames])
+        # pad/crop datasets to the synthetic frame count for one compile
+        sequences.append((depths, colors))
+        gts.append(None)
+        names.append(os.path.basename(os.path.normpath(root)))
+
+    mesh = replica_mesh(args.devices)
+    dims = [int(d) for d in args.dims.split(",")]
+    rows = []
+    for dim in dims:
+        params = _params_from_args(args, 0.001).replace(volume_dims=(dim,) * 3)
+        t0 = time.perf_counter()
+        results = sweep_sequences(sequences, params, intr, mesh)
+        wall = time.perf_counter() - t0
+        n_waves = -(-len(sequences) // mesh.devices.size)
+        ms_frame = wall / (n_waves * args.frames) * 1e3
+        for name, gt, (poses, oks) in zip(names, gts, results):
+            row = {
+                "sequence": name,
+                "dim": dim,
+                "frames": int(oks.shape[0]),
+                "tracking_failures": int((~oks.astype(bool)).sum()),
+                "ms_per_frame_wall": round(ms_frame, 2),
+            }
+            if gt is not None:
+                row["ate_rmse_m"] = round(
+                    float(ate_rmse(list(poses), gt[: len(poses)])), 6
+                )
+            rows.append(row)
+            print(json.dumps(row))
+    print(f"# sweep: {len(sequences)} sequences x {len(dims)} configs on "
+          f"{mesh.devices.size} devices")
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + args.rest
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -201,8 +304,28 @@ def main(argv=None) -> int:
 
     rp = sub.add_parser("run", help="fuse an RGB-D sequence")
     rp.add_argument("--data", required=True, help="dataset root")
-    rp.add_argument("--dataset", choices=("auto", "bundled", "tum"), default="auto")
+    rp.add_argument(
+        "--dataset", choices=("auto", "bundled", "tum", "icl"), default="auto"
+    )
     rp.add_argument("--frames", type=int, default=None)
+    rp.add_argument(
+        "--streaming",
+        action="store_true",
+        help="camera-following moving volume (corridor-scale sequences)",
+    )
+    rp.add_argument(
+        "--relocalize",
+        action="store_true",
+        help="keep the map on tracking loss and try keyframe relocalization",
+    )
+    rp.add_argument(
+        "--dump-renders",
+        default=None,
+        metavar="DIR",
+        help="write phong/normal/color/depth PNGs per frame (main.cpp:77-86)",
+    )
+    rp.add_argument("--dump-every", type=int, default=5, metavar="N",
+                    help="dump renders every N frames (default 5)")
     rp.add_argument("--save-poses", default=None)
     rp.add_argument("--poses-format", choices=("ref", "tum"), default="ref")
     rp.add_argument("--save-ply", default=None)
@@ -222,6 +345,23 @@ def main(argv=None) -> int:
     ep.add_argument("--rpe-delta", type=int, default=1)
     ep.add_argument("--no-align", action="store_true")
     ep.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "sweep", help="replica-parallel eval sweep (sequences x configs)"
+    )
+    sp.add_argument("--synthetic", type=int, default=8,
+                    help="number of synthetic orbit sequences")
+    sp.add_argument("--data", action="append", default=None,
+                    help="dataset root (repeatable)")
+    sp.add_argument("--frames", type=int, default=12)
+    sp.add_argument("--width", type=int, default=160)
+    sp.add_argument("--height", type=int, default=120)
+    sp.add_argument("--dims", type=str, default="128",
+                    help="comma-separated volume dims (one config each)")
+    sp.add_argument("--devices", type=int, default=None,
+                    help="mesh size (default: all local devices)")
+    _add_params_flags(sp)
+    sp.set_defaults(fn=cmd_sweep)
 
     bp = sub.add_parser("bench", help="per-frame latency benchmark")
     bp.add_argument("rest", nargs=argparse.REMAINDER)

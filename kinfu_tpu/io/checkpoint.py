@@ -26,7 +26,13 @@ _FORMAT_VERSION = 1
 def save_checkpoint(path: str, session) -> None:
     """Serialise a KinFuSession (pipeline/session.py) to `path` (.npz)."""
     state = session.state
+    streaming = bool(getattr(session, "streaming", False))
+    extra = {}
+    if streaming:
+        extra["origin_vox"] = np.asarray(state.origin_vox)
+        state = state.kinfu
     arrays = {
+        **extra,
         "tsdf": np.asarray(state.vol.tsdf),
         "weight": np.asarray(state.vol.weight),
         "color": np.asarray(state.vol.color),
@@ -44,6 +50,7 @@ def save_checkpoint(path: str, session) -> None:
         "levels": len(state.model_vmaps),
         "params": dataclasses.asdict(session.params),
         "intrinsics": dataclasses.asdict(session.intr),
+        "streaming": streaming,
     }
     tmp = path + ".tmp"
     np.savez_compressed(tmp, meta=json.dumps(meta), **arrays)
@@ -84,9 +91,16 @@ def load_checkpoint(path: str):
         )
         pose_record = [T for T in z["pose_record"]]
         frame_count = int(meta["frame_count"])
+        streaming = bool(meta.get("streaming", False))
+        origin_vox = z["origin_vox"] if streaming else None
 
-    session = KinFuSession(intr, params)
-    session.state = state
+    session = KinFuSession(intr, params, streaming=streaming)
+    if streaming:
+        from kinfu_tpu.pipeline.streaming import StreamingState
+
+        session.state = StreamingState(kinfu=state, origin_vox=jnp.asarray(origin_vox))
+    else:
+        session.state = state
     session.pose_record = pose_record
     session.frame_count = frame_count
     return session

@@ -28,8 +28,11 @@ class TrackingStatus(enum.Enum):
 class RelocalizerConfig:
     #: consecutive relocalization attempts before giving up and resetting
     max_attempts: int = 5
-    #: minimum ICP inliers for a relocalization to count as re-acquired
-    min_inliers: int = 2000
+    #: minimum ICP-inlier FRACTION of the image pixels for a relocalization
+    #: to count as re-acquired (resolution-relative; ~2000 px at 640x480)
+    min_inlier_frac: float = 2000.0 / (640 * 480)
+    #: absolute override; None = round(min_inlier_frac * num_pixels)
+    min_inliers: int | None = None
 
 
 @dataclass
@@ -40,6 +43,14 @@ class Relocalizer:
     config: RelocalizerConfig = field(default_factory=RelocalizerConfig)
     status: TrackingStatus = TrackingStatus.OK
     failed_attempts: int = 0
+    #: image pixel count at the tracked resolution (set by the session)
+    num_pixels: int = 640 * 480
+
+    @property
+    def inlier_threshold(self) -> int:
+        if self.config.min_inliers is not None:
+            return self.config.min_inliers
+        return max(1, round(self.config.min_inlier_frac * self.num_pixels))
 
     def on_frame(self, tracking_ok: bool, icp_inliers: int) -> TrackingStatus:
         """Update the state machine with one frame's result; the returned
@@ -52,7 +63,7 @@ class Relocalizer:
         """
         if tracking_ok and (
             self.status is TrackingStatus.OK
-            or icp_inliers >= self.config.min_inliers
+            or icp_inliers >= self.inlier_threshold
         ):
             self.status = TrackingStatus.OK
             self.failed_attempts = 0

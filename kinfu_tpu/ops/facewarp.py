@@ -140,6 +140,26 @@ def face_frames() -> Tuple[FaceFrame, ...]:
     return tuple(out)
 
 
+def warp_dims_ok(shape_zyx: Tuple[int, int, int]) -> bool:
+    """True when every cube-face sweep's PRIMED dims satisfy the Pallas
+    tiling constraints, so the warped integrate/raycast kernels can run
+    with faces="auto" (which traces all six sweeps — one bad face trips a
+    trace-time assert even if the frustum never touches it).
+
+    Per face, after `axes` permutation the primed [Zp, Yp, Xp] volume needs
+      - Zp % 8 == 0  (raycast streams 8-plane slabs; integrate grid is fine
+        with any Zp but the shared check keeps one rule for both kernels)
+      - Yp % 8 == 0  (8-row gather windows, integrate + raycast)
+      - Xp % 128 == 0 (lane chunks)
+    The dispatchers (volume/integrate.py, volume/raycast.py) fall back to
+    the jnp paths when this returns False."""
+    for fr in face_frames():
+        Zp, Yp, Xp = (shape_zyx[a] for a in fr.axes)
+        if Zp % 8 or Yp % 8 or Xp % 128:
+            return False
+    return True
+
+
 class Face(NamedTuple):
     """Per-frame warped observation, mip-stacked: arrays [stack_rows, size]."""
 

@@ -43,20 +43,35 @@ class KinFuSession:
         intr: Intrinsics,
         params: Optional[KinFuParams] = None,
         relocalize: bool = False,
+        streaming: bool = False,
     ):
         self.intr = intr
         self.params = params or KinFuParams()
-        self.state = init_state(self.params, intr)
-        # with relocalization on, tracking failure keeps the map (the
-        # relocalizer owns recovery); otherwise reference-parity auto-reset
-        self._step = make_step_fn(self.params, intr, auto_reset=not relocalize)
+        self.streaming = streaming
+        if streaming and relocalize:
+            raise ValueError("streaming + relocalize not supported together")
+        if streaming:
+            # camera-following moving volume (pipeline/streaming.py) — the
+            # reference's grid is fixed in space (kinectfusion.cpp:181-184)
+            from kinfu_tpu.pipeline.streaming import (
+                init_streaming_state,
+                make_streaming_step_fn,
+            )
+
+            self.state = init_streaming_state(self.params, intr)
+            self._step = make_streaming_step_fn(self.params, intr)
+        else:
+            self.state = init_state(self.params, intr)
+            # with relocalization on, tracking failure keeps the map (the
+            # relocalizer owns recovery); otherwise reference-parity auto-reset
+            self._step = make_step_fn(self.params, intr, auto_reset=not relocalize)
         self.relocalizer = None
         self.keyframes = None
         if relocalize:
             from kinfu_tpu.mapping.keyframes import KeyframeStore
             from kinfu_tpu.mapping.relocalize import Relocalizer
 
-            self.relocalizer = Relocalizer()
+            self.relocalizer = Relocalizer(num_pixels=intr.width * intr.height)
             self.keyframes = KeyframeStore()
 
             from kinfu_tpu.pipeline.kinfu import relocalize_step
@@ -74,16 +89,23 @@ class KinFuSession:
 
         @functools.partial(jax.jit, static_argnames=("mode",))
         def _render(state, mode):
+            ks = state.kinfu if streaming else state
             if mode == self.NORMAL:
-                return render_normals(state.model_nmaps[0])
-            return render_phong(
-                state.pose.t, state.model_vmaps[0], state.model_nmaps[0]
-            )
+                return render_normals(ks.model_nmaps[0])
+            return render_phong(ks.pose.t, ks.model_vmaps[0], ks.model_nmaps[0])
 
         self._render = _render
 
         @jax.jit
         def _extract(state):
+            if streaming:
+                from kinfu_tpu.pipeline.streaming import _vol_pose_dyn
+
+                return extract_points(
+                    state.kinfu.vol,
+                    _vol_pose_dyn(self.params, state.origin_vox),
+                    self.params,
+                )
             return extract_points(state.vol, _volume_pose(self.params), self.params)
 
         self._extract = _extract
@@ -142,7 +164,12 @@ class KinFuSession:
         return False, np.eye(4, dtype=np.float32)
 
     def reset(self) -> None:
-        self.state = init_state(self.params, self.intr)
+        if self.streaming:
+            from kinfu_tpu.pipeline.streaming import init_streaming_state
+
+            self.state = init_streaming_state(self.params, self.intr)
+        else:
+            self.state = init_state(self.params, self.intr)
         self.pose_record = [np.eye(4, dtype=np.float32)]
         self.frame_count = 1
 

@@ -70,17 +70,16 @@ def integrate(
     mode = params.integrate_mode
     if mode == "auto":
         mode = "warped" if jax.default_backend() == "tpu" else "gather"
-    Zs, Ys, Xs = vol.tsdf.shape
-    # the multi-face sweeps permute the volume axes, so X and Y must both be
-    # lane-tileable (each becomes the lane dim of some face) and Z
-    # sublane-tileable
+    # the multi-face sweeps permute the volume axes; warp_dims_ok checks
+    # the tiling constraints of every face's PRIMED shape (so non-cubic
+    # volumes fall back cleanly instead of tripping a trace-time assert)
+    from kinfu_tpu.ops.facewarp import warp_dims_ok
+
     if (
         mode == "warped"
         and isinstance(z_offset, int)
         and z_offset == 0
-        and Zs % 8 == 0
-        and Ys % 128 == 0
-        and Xs % 128 == 0
+        and warp_dims_ok(vol.tsdf.shape)
     ):
         from kinfu_tpu.ops.pallas_integrate import integrate_warped
 

@@ -517,7 +517,11 @@ def raycast(
     # stepwise and stays available for tests only.
     block = 8
     mode = params.raycast_mode
-    warp_ok = Z % 8 == 0 and Y % 128 == 0 and X % 128 == 0
+    from kinfu_tpu.ops.facewarp import warp_dims_ok
+
+    warp_ok = warp_dims_ok(vol.tsdf.shape)
+    if mode == "warped" and not warp_ok:
+        mode = "auto"  # untileable volume: fall back cleanly (tests/test_dispatch.py)
     if mode == "auto":
         if jax.default_backend() == "tpu" and warp_ok:
             mode = "warped"

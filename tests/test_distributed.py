@@ -104,3 +104,38 @@ def test_sharded_tracking_failure_resets():
     assert not bool(out.tracking_ok)
     assert int(state.frame_count) == 1
     assert int(np.asarray(jnp.sum(state.vol.weight.astype(jnp.int32)))) == 0
+
+
+def test_replica_sweep_matches_serial():
+    """parallel/sweep.py: N sequences fanned across the replica mesh must
+    produce the same trajectories as running each serially."""
+    from kinfu_tpu.data.synthetic import make_orbit_trajectory
+    from kinfu_tpu.parallel.sweep import replica_mesh, sweep_sequences
+    from kinfu_tpu.pipeline.kinfu import make_step_fn
+
+    scene = default_test_scene()
+    params = PARAMS.replace(raycast_mode="auto")
+    seqs, steps = [], (0.2, 0.5, 0.8)
+    for s in steps:
+        traj = make_orbit_trajectory(3, angle_step_deg=s)
+        frames = [scene.render_frame(T, INTR) for T in traj]
+        seqs.append(
+            (
+                np.stack([d for d, _ in frames]),
+                np.stack([c for _, c in frames]),
+            )
+        )
+
+    mesh = replica_mesh(4)
+    results = sweep_sequences(seqs, params, INTR, mesh)
+    assert len(results) == 3
+
+    step_fn = make_step_fn(params, INTR, donate=False)
+    for (depths, colors), (poses, oks) in zip(seqs, results):
+        assert oks.astype(bool).all()
+        st = init_state(params, INTR)
+        for f in range(depths.shape[0]):
+            st, out = step_fn(st, jnp.asarray(depths[f]), jnp.asarray(colors[f]))
+        np.testing.assert_allclose(
+            poses[-1], np.asarray(out.pose_matrix), atol=1e-5
+        )

@@ -71,6 +71,32 @@ def test_checkpoint_roundtrip(tmp_path, session_after_frames):
     assert restored.pipeline(color, depth)
 
 
+def test_streaming_session_tracks_and_checkpoints(tmp_path):
+    """Streaming (camera-following) mode through the public session API,
+    including checkpoint round-trip with the grid offset."""
+    from kinfu_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from kinfu_tpu.pipeline.session import KinFuSession
+
+    sess = KinFuSession(INTR, PARAMS, streaming=True)
+    for depth, color in _frames(3):
+        assert sess.pipeline(color, depth)
+    assert sess.frame_count == 4
+    phong = sess.get_render_map(sess.PHONG)
+    assert phong.shape == (INTR.height, INTR.width, 3)
+    pts = sess.extract_pointcloud()
+    assert len(pts) > 100
+
+    path = str(tmp_path / "stream.npz")
+    save_checkpoint(path, sess)
+    restored = load_checkpoint(path)
+    assert restored.streaming
+    np.testing.assert_array_equal(
+        np.asarray(restored.state.origin_vox), np.asarray(sess.state.origin_vox)
+    )
+    depth, color = _frames(4)[-1]
+    assert restored.pipeline(color, depth)
+
+
 def test_synthetic_sensor_iterates():
     from kinfu_tpu.data.sensor import SyntheticSensor
 

@@ -96,8 +96,11 @@ def main():
     )(vol0)
     dmaps, vmaps, nmaps = jax.jit(pyramid)(depth_raw)
 
+    # NOTE: all large arrays are explicit ARGUMENTS — a closed-over array
+    # becomes an HLO constant and the 512^3 volume (~0.75 GB) blows the
+    # remote-compile upload limit (HTTP 413 on the axon tunnel).
     @jax.jit
-    def run(n_pyr, n_icp, n_int, n_ray):
+    def run(n_pyr, n_icp, n_int, n_ray, depth_raw, color, vol0, dmaps, vmaps, nmaps):
         def loop(n, body, c0):
             return jax.lax.fori_loop(0, n, lambda _, c: body(c), c0)
 
@@ -131,12 +134,12 @@ def main():
 
     def t(*ns):
         t0 = time.perf_counter()
-        np.asarray(run(*ns))
+        np.asarray(run(*ns, depth_raw, color, vol0, dmaps, vmaps, nmaps))
         return time.perf_counter() - t0
 
     print("compiling...", flush=True)
     t0 = time.perf_counter()
-    np.asarray(run(1, 1, 1, 1))
+    np.asarray(run(1, 1, 1, 1, depth_raw, color, vol0, dmaps, vmaps, nmaps))
     print(f"compile+first: {time.perf_counter()-t0:.0f} s", flush=True)
 
     base = min(t(1, 1, 1, 1) for _ in range(3))
