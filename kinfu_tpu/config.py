@@ -50,8 +50,8 @@ class KinFuParams:
     icp_iters: Tuple[int, ...] = (4, 5, 10)
     #: association gather + reduction: "gather" = jnp (reference semantics,
     #: rigid_icp.cu:46-112), "warped" = fused Pallas iteration
-    #: (kinfu_tpu/ops/pallas_icp.py), "auto" = warped on TPU. The sharded
-    #: (psum) path always uses "gather".
+    #: (kinfu_tpu/ops/pallas_icp.py), "auto" = warped on TPU. Both modes
+    #: support the sharded (psum) finish over row-sharded images.
     icp_mode: str = "auto"
 
     # ---- TSDF volume (kinectfusion.cpp:181-186) ----

@@ -157,12 +157,18 @@ def icp_normal_eqs_warped(
     sin_angle_thres: float,
     interpret: bool | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Drop-in Pallas replacement for tracking.icp._normal_equations
-    (single-device path): returns (A [6,6], b [6], inlier_count)."""
+    """Drop-in Pallas replacement for tracking.icp._normal_equations:
+    returns (A [6,6], b [6], inlier_count).
+
+    cur maps may be a ROW-SHARD of the image (fewer rows than the model
+    maps — the distributed psum reduction, parallel/sharded.py); bounds and
+    the association gather always use the full model dimensions."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     h, w, _ = pre_vmap.shape
+    hc = cur_vmap.shape[0]
     hp = (h + 7) & ~7
+    hcp = (hc + 7) & ~7
     wp = (w + 127) & ~127
 
     R, t = inc
@@ -186,12 +192,12 @@ def icp_normal_eqs_warped(
         ]
     )
 
-    def chans(m):
-        mp = jnp.pad(m, ((0, hp - m.shape[0]), (0, wp - m.shape[1]), (0, 0)))
+    def chans(m, rows):
+        mp = jnp.pad(m, ((0, rows - m.shape[0]), (0, wp - m.shape[1]), (0, 0)))
         return [mp[..., k] for k in range(3)]
 
-    cur = chans(cur_vmap) + chans(cur_nmap)
-    pre = chans(pre_vmap) + chans(pre_nmap)
+    cur = chans(cur_vmap, hcp) + chans(cur_nmap, hcp)
+    pre = chans(pre_vmap, hp) + chans(pre_nmap, hp)
 
     kern = functools.partial(_kernel, wp=wp, hp=hp)
     row = pl.BlockSpec((8, wp), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -201,7 +207,7 @@ def icp_normal_eqs_warped(
     )
     g = pl.pallas_call(
         kern,
-        grid=(hp // 8,),
+        grid=(hcp // 8,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [row] * 6
         + [whole] * 6,

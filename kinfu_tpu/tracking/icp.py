@@ -135,7 +135,7 @@ def rigid_icp(
     mode = params.icp_mode
     if mode == "auto":
         mode = "warped" if jax.default_backend() == "tpu" else "gather"
-    use_warped = mode == "warped" and axis_name is None
+    use_warped = mode == "warped"
     if use_warped:
         from kinfu_tpu.ops.pallas_icp import icp_normal_eqs_warped
 
@@ -163,6 +163,13 @@ def rigid_icp(
                     params.icp_dist_threshold,
                     sin_thres,
                 )
+                if axis_name is not None:
+                    # distributed finish: cur maps are row-shards, the
+                    # 36-term Gram reduction completes over the mesh (the
+                    # ICI analogue of rigid_icp.cu:115-132)
+                    A = jax.lax.psum(A, axis_name)
+                    b = jax.lax.psum(b, axis_name)
+                    ninl = jax.lax.psum(ninl, axis_name)
             else:
                 A, b, ninl = _normal_equations(
                     pose,

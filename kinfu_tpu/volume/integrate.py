@@ -75,14 +75,17 @@ def integrate(
     # volumes fall back cleanly instead of tripping a trace-time assert)
     from kinfu_tpu.ops.facewarp import warp_dims_ok
 
-    if (
-        mode == "warped"
-        and isinstance(z_offset, int)
-        and z_offset == 0
-        and warp_dims_ok(vol.tsdf.shape)
-    ):
+    if mode == "warped" and warp_dims_ok(vol.tsdf.shape):
         from kinfu_tpu.ops.pallas_integrate import integrate_warped
 
+        # A Z-shard fuses in its LOCAL frame: global voxel position is
+        # p_local + (0, 0, z_offset*vsz), and every quantity in the sweep
+        # depends on p - camera_centre only, so shifting the camera by the
+        # shard origin makes the local sweep exactly the global one.
+        if not (isinstance(z_offset, int) and z_offset == 0):
+            zoff_m = jnp.asarray(z_offset, jnp.float32) * params.voxel_size[2]
+            R0, t0 = vol2cam
+            vol2cam = Pose(R0, t0 + R0[:, 2] * zoff_m)
         return integrate_warped(vol, depth_m, color_rgb, vol2cam, intr, params)
     Z, Y, X = vol.tsdf.shape
     h, w = depth_m.shape

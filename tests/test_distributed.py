@@ -139,3 +139,42 @@ def test_replica_sweep_matches_serial():
         np.testing.assert_allclose(
             poses[-1], np.asarray(out.pose_matrix), atol=1e-5
         )
+
+
+def test_sharded_warped_kernels_match_single_device():
+    """The sharded path must run the SAME Pallas kernels as single-chip:
+    warped integrate (z-offset folded into the camera pose) and warped ICP
+    (row-shard + psum Gram finish). Raycast stays the grid-snapped march on
+    both sides (its warped unification is separate)."""
+    params = KinFuParams(
+        pyramid_height=1,
+        icp_iters=(3,),
+        volume_dims=(128, 128, 128),
+        volume_range=(3.0, 3.0, 3.0),
+        integrate_mode="warped",
+        icp_mode="warped",
+        raycast_mode="step",
+    )
+    scene = default_test_scene()
+    traj = make_translation_trajectory(3, step=(0.004, -0.003, 0.006))
+    frames = [scene.render_frame(T, INTR) for T in traj]
+
+    single = make_step_fn(params, INTR, donate=False)
+    st_s = init_state(params, INTR)
+    st_s, outs_s = _run(single, st_s, frames)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_step_fn(params, INTR, mesh)
+    st_d = shard_state(init_state(params, INTR), mesh)
+    st_d, outs_d = _run(sharded, st_d, frames)
+
+    for os_, od in zip(outs_s, outs_d):
+        assert bool(od.tracking_ok) == bool(os_.tracking_ok)
+        np.testing.assert_allclose(
+            np.asarray(od.pose_matrix), np.asarray(os_.pose_matrix), atol=1e-4
+        )
+    np.testing.assert_allclose(
+        tsdf_to_float(jnp.asarray(st_d.vol.tsdf)),
+        tsdf_to_float(st_s.vol.tsdf),
+        atol=2e-3,
+    )
