@@ -87,6 +87,7 @@ def cmd_run(args) -> int:
             params,
             relocalize=args.relocalize,
             streaming=args.streaming,
+            pose_graph=args.pose_graph,
         )
         start = 0
 
@@ -135,6 +136,11 @@ def cmd_run(args) -> int:
 
             save_checkpoint(args.checkpoint, sess)
 
+    if args.pose_graph:
+        print(
+            f"pose graph: {len(sess.pg_keyframes)} keyframes, "
+            f"{len(sess.loop_closures)} loop closures"
+        )
     s = rec.summary()
     if s:
         print(
@@ -317,6 +323,11 @@ def main(argv=None) -> int:
         "--relocalize",
         action="store_true",
         help="keep the map on tracking loss and try keyframe relocalization",
+    )
+    rp.add_argument(
+        "--pose-graph",
+        action="store_true",
+        help="keyframe pose graph with loop-closure drift correction",
     )
     rp.add_argument(
         "--dump-renders",

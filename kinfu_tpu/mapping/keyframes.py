@@ -21,6 +21,10 @@ class Keyframe:
     pose: np.ndarray    # world-from-camera [4,4] at selection time
     #: small depth thumbnail (float32 metres) for relocalization scoring
     depth_thumb: Optional[np.ndarray] = None
+    #: model vertex/normal pyramids at selection time (for loop-closure
+    #: ICP, mapping/loop_closure.py); tuples of [H,W,3] float32 arrays
+    vmaps: Optional[tuple] = None
+    nmaps: Optional[tuple] = None
 
 
 @dataclass
@@ -43,12 +47,17 @@ class KeyframeStore:
         return t >= self.min_translation or angle >= self.min_rotation_deg
 
     def maybe_add(
-        self, index: int, pose: np.ndarray, depth_thumb: Optional[np.ndarray] = None
+        self,
+        index: int,
+        pose: np.ndarray,
+        depth_thumb: Optional[np.ndarray] = None,
+        vmaps: Optional[tuple] = None,
+        nmaps: Optional[tuple] = None,
     ) -> bool:
         if self.should_add(pose):
             self.keyframes.append(
                 Keyframe(index=index, pose=np.asarray(pose, np.float32),
-                         depth_thumb=depth_thumb)
+                         depth_thumb=depth_thumb, vmaps=vmaps, nmaps=nmaps)
             )
             return True
         return False

@@ -60,15 +60,19 @@ from kinfu_tpu.volume.tsdf import SHORTMAX, TSDFVolume
 
 #: row windows per tile: slope <= _S_MAX -> an 8-voxel strip spans
 #: <= 7*_S_MAX + 1.5 rows; with the 8-row alignment loss, _N_WINDOWS * 8
-#: must exceed that by 7 (coverage bound: slope <= (8*N - 8.5) / 7)
-_N_WINDOWS = 4
+#: must exceed that by 7 (coverage bound: slope <= (8*N - 8.5) / 7).
+#: 3 windows cover slope <= 2.21 — the mip selector targets <= 2.0, so the
+#: fourth window only ever served the clamped coarsest level very close to
+#: the camera; dropping it cuts 25% of the gather work (r3 perf).
+_N_WINDOWS = 3
 #: mip target: finest level with slope <= _S_MAX face px / voxel. Higher =
 #: finer observation sampling (lateral quantization error = 0.5/_S_MAX .. 1
 #: voxels) but more row windows.
 _S_MAX = 2.0
-#: hard coverage limit for the clamped coarsest level (within the window
-#: bound 3.35 for 4 windows); slabs beyond it are masked (DIVERGENCES.md 19)
-_S_COVER = 3.0
+#: hard coverage limit for the clamped coarsest level (must stay within the
+#: window bound 2.21 for 3 windows); slabs beyond it are masked
+#: (DIVERGENCES.md 19)
+_S_COVER = 2.2
 
 #: a face sweep is considered needed when any sampled frustum direction d
 #: has (face axis component) >= _FACE_MARGIN * ||d||_inf — ~17 deg of slack
@@ -161,6 +165,7 @@ def _kernel(
     vsx, vsy, vsz = prm_ref[3], prm_ref[4], prm_ref[5]
     focal, centre = prm_ref[6], prm_ref[7]
     trunc_mm, max_weight = prm_ref[8], prm_ref[9]
+    r_max_mm = prm_ref[10]  # max observed range this face, mm
 
     dz = z.astype(jnp.float32) * vsz - cz
     dz_ok = dz > 1e-3
@@ -168,6 +173,11 @@ def _kernel(
     slope = focal * jnp.maximum(vsx, vsy) / dzs
     inv_scale, row_off, width, h_pad, cover_ok = _mip_scalars(spec, slope)
     h_lvl = width  # square face: level height == level width
+    slab_ok = dz_ok & cover_ok
+
+    def _min_abs(lo, hi):
+        """min |x| over the interval [lo, hi] (scalars)."""
+        return jnp.where(lo > 0.0, lo, jnp.where(hi < 0.0, -hi, 0.0))
 
     # affine face coords in MIP units: u = au*x + bu, v = av*y + bv
     au = focal * vsx / dzs * inv_scale
@@ -184,22 +194,54 @@ def _kernel(
     x_chunks = x_dim // 128
     inv_short = jnp.float32(1.0 / SHORTMAX)
 
+    # full-slab scalar extents (x/y over the whole slab) for the slab- and
+    # strip-level gates. Predication is kept at slab/strip granularity only:
+    # per-chunk pl.when measured ~2x SLOWER than no gating at all (Mosaic
+    # scheduling; tools/integrate_probe.py r3).
+    dx_min_f = _min_abs(-cx, (x_dim - 1) * vsx - cx)
+    dy_min_f = _min_abs(-cy, (y_dim - 1) * vsy - cy)
+    u_hi_f = au * jnp.float32(x_dim - 1) + bu
+    v_hi_f = av * jnp.float32(y_dim - 1) + bv
+    r_min_slab_mm = (
+        jnp.sqrt(dx_min_f * dx_min_f + dy_min_f * dy_min_f + dz * dz) * 1000.0
+    )
+    slab_do = (
+        slab_ok
+        & (dx_min_f <= dzs)
+        & (dy_min_f <= dzs)
+        & (u_hi_f >= -0.5)
+        & (bu <= width.astype(jnp.float32) - 0.5)
+        & (v_hi_f >= -0.5)
+        & (bv <= h_lvl.astype(jnp.float32) - 0.5)
+        & (r_min_slab_mm <= r_max_mm + trunc_mm)
+    )
+
+    def copy_chunk(row_sl, lane_sl):
+        tsdf_out[0, row_sl, lane_sl] = tsdf_ref[0, row_sl, lane_sl]
+        weight_out[0, row_sl, lane_sl] = weight_ref[0, row_sl, lane_sl]
+        col_out[0, row_sl, lane_sl] = col_ref[0, row_sl, lane_sl]
+
     def strip(i):
+        # NOTE: no per-strip/per-chunk predication — pl.when at that
+        # granularity measured SLOWER than unconditional work (Mosaic
+        # scheduling, tools/integrate_probe.py r3); only the whole-slab
+        # gate below pays off.
         y0 = i * 8
         y0f = y0.astype(jnp.float32)
+        row_sl = pl.ds(pl.multiple_of(y0, 8), 8)
+
         # window starts from the strip's first row (av >= 0 -> min at y0)
         vmin = jnp.floor(av * y0f + bv).astype(jnp.int32)
         ws_base = (vmin // 8) * 8
-        row_sl = pl.ds(pl.multiple_of(y0, 8), 8)
         dy = dyr + y0f * vsy  # [8,1] metres
         v_mip = jnp.rint(
             av * (y0f + _fiota((8, 1), 0)) + bv
         ).astype(jnp.int32)
         v_ok = (v_mip >= 0) & (v_mip < h_lvl)
 
-        # per-window 8-aligned starts, clamped inside the level's padded row
-        # block so every 8-row read stays in bounds (rows past h_lvl are
-        # padding; v_ok masks them)
+        # per-window 8-aligned starts, clamped inside the level's padded
+        # row block so every 8-row read stays in bounds (rows past h_lvl
+        # are padding; v_ok masks them)
         ws_list, v_loc = [], []
         for k in range(_N_WINDOWS):
             ws_k = jnp.clip(ws_base + 8 * k, 0, h_pad - 8)
@@ -208,6 +250,11 @@ def _kernel(
 
         for xc in range(x_chunks):
             x0 = xc * 128
+            _chunk_body(x0, slice(x0, x0 + 128), row_sl, dy, v_ok,
+                        ws_list, v_loc)
+
+    def _chunk_body(x0, lane_sl, row_sl, dy, v_ok, ws_list, v_loc):
+        if True:  # keep the original body's indentation shallow
             dx = dxl + jnp.float32(x0) * vsx  # [1,128] metres
             u_mip = jnp.rint(
                 au
@@ -281,7 +328,21 @@ def _kernel(
             strip(k * unroll + s)
         return 0
 
-    jax.lax.fori_loop(0, n_strips // unroll, body, 0)
+    @pl.when(slab_do)
+    def _slab_work():
+        jax.lax.fori_loop(0, n_strips // unroll, body, 0)
+
+    @pl.when(jnp.logical_not(slab_do))
+    def _slab_copy():
+        def cbody(k, _):
+            for s in range(unroll):
+                y0 = (k * unroll + s) * 8
+                row_sl = pl.ds(pl.multiple_of(y0, 8), 8)
+                for xc in range(x_chunks):
+                    copy_chunk(row_sl, slice(xc * 128, (xc + 1) * 128))
+            return 0
+
+        jax.lax.fori_loop(0, n_strips // unroll, cbody, 0)
 
 
 def _sweep_face(
@@ -326,6 +387,9 @@ def _sweep_face(
         depth_m, color_rgb, vol2cam, intr, spec,
         frame=frame, dims=dims_xyz, voxel_size=vs,
     )
+    # max observed range (scalar): lets the kernel skip whole tiles that are
+    # provably beyond every observation (sdf < -trunc across the tile)
+    r_max_mm = jnp.max(face.range_mm).astype(jnp.float32)
     prm = jnp.concatenate(
         [
             face.centre,
@@ -338,10 +402,11 @@ def _sweep_face(
                     spec.centre,
                     params.trunc_dist * 1000.0,
                     float(params.tsdf_max_weight),
-                    0, 0, 0, 0, 0, 0,
                 ],
                 jnp.float32,
             ),
+            r_max_mm[None],
+            jnp.zeros((5,), jnp.float32),
         ]
     )
 
@@ -449,13 +514,32 @@ def integrate_warped(
 
     if faces == "auto":
         flags = faces_needed(vol2cam, intr)
-        for name, frame in frames.items():
-            arrays = jax.lax.cond(
-                flags[name],
-                lambda a, fr=frame: sweep(*a, fr),
-                lambda a: a,
-                arrays,
-            )
+        names = list(frames)
+        # The common case is ONE face (a near-axis camera). A chain of six
+        # lax.conds costs a full volume copy per identity branch (~23 ms of
+        # the 512^3 frame, tools/integrate_probe.py r3) — so single-face
+        # frames dispatch through ONE lax.switch branch and only genuinely
+        # multi-face frames pay the cond chain.
+        flag_vec = jnp.stack([flags[n] for n in names])
+        nset = jnp.sum(flag_vec.astype(jnp.int32))
+        code = jnp.where(nset == 1, jnp.argmax(flag_vec), len(names))
+
+        def single(fr):
+            return lambda a: sweep(*a, fr)
+
+        def chain(a):
+            for name in names:
+                a = jax.lax.cond(
+                    flags[name],
+                    lambda x, fr=frames[name]: sweep(*x, fr),
+                    lambda x: x,
+                    a,
+                )
+            return a
+
+        arrays = jax.lax.switch(
+            code, [single(frames[n]) for n in names] + [chain], arrays
+        )
     else:
         for name in faces:
             arrays = sweep(*arrays, frames[name])

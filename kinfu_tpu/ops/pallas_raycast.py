@@ -113,22 +113,39 @@ _N_WIN = 4
 
 def _sweep_kernel(
     prm_ref,  # SMEM f32[8]: oxyz', vs'xyz, focal, centre
+    geom_ref,  # SMEM i32[6]: Zp_g, Yp_g, plane0, row0, row_lo, row_hi
     tiles_ref,  # SMEM i32[n_slabs, n_tiles] active tile ids per slab
     count_ref,  # SMEM i32[n_slabs]
     own_ref,  # SMEM i32[n_tiles] static ownership (any owned px in tile)
-    slab_ref,  # VMEM [8, Yp, Xp] int16
+    slab_ref,  # VMEM [8, Yl, Xp] int16 (local rows; Yl = Yp_g single-chip)
     hit_ref,  # VMEM [F, F] f32 out (revisited)
     back_ref,  # VMEM [F, F] f32 out (revisited)
     fprev_ref,  # VMEM [F, F] f32 scratch
     alive_ref,  # SMEM [n_tiles] i32 scratch
     *,
-    dims_p: Tuple[int, int, int],  # (Zp, Yp, Xp)
+    dims_local: Tuple[int, int, int],  # (Zl, Yl, Xp) of the LOCAL buffer
     spec: RaySpec,
     n_tile_cols: int,
     n_tiles: int,
 ):
+    """One plane-sweep grid step.
+
+    Sharded operation (parallel/sharded.py): the buffer may hold only a
+    Z-shard of the primed volume. geom_ref carries the GLOBAL geometry as
+    traced scalars — `plane0` when the shard axis is the sweep (plane)
+    axis, `row0`/`row_lo`/`row_hi` when it is the row axis (the buffer then
+    includes halo rows; samples outside [row_lo, row_hi] are invalid and
+    the neighbour shard resolves them — min-composited by the caller).
+    Single-chip: plane0=row0=0, row_lo/hi = full range, identical maths.
+    """
     s = pl.program_id(0)
-    Zp, Yp, Xp = dims_p
+    Zl, Yl, Xp = dims_local
+    Zp = geom_ref[0]  # global plane count
+    Yp = geom_ref[1]  # global row count
+    plane0 = geom_ref[2]
+    row0 = geom_ref[3]
+    row_lo = geom_ref[4]
+    row_hi = geom_ref[5]
     F = spec.size
     f = jnp.float32(spec.focal)
     c = jnp.float32(spec.centre)
@@ -182,24 +199,25 @@ def _sweep_kernel(
             bt = back_ref[row_sl, lane_sl]
 
             for m in range(8):
-                zg = s * 8 + m  # global plane index (traced scalar)
+                zg = plane0 + s * 8 + m  # GLOBAL plane index (traced)
                 zgf = zg.astype(jnp.float32)
                 t_m = zgf * vsz - oz  # plane parameter (z' metres)
                 t_ok = (t_m > 1e-6) & (t_m <= t_cover)
                 ts = jnp.maximum(t_m, 1e-6)
 
-                # sample coords (voxel units)
+                # sample coords (GLOBAL voxel units)
                 yv = (oy + dy * ts) * inv_vsy  # [8,1]
                 xv = (ox + dx * ts) * inv_vsx  # [1,128]
                 yi = jnp.rint(yv).astype(jnp.int32)
                 xi = jnp.rint(xv).astype(jnp.int32)
+                yil = yi - row0  # row index local to the buffer
 
                 # analytic window start from scalar corner geometry: y is
                 # affine in the pixel row with positive slope ts/(f*vsy),
                 # so the tile minimum is at row i0 (no vector reductions).
                 ymin = (oy + (i0f - c) / f * ts) * inv_vsy
                 ws_raw = (jnp.floor(ymin).astype(jnp.int32) // 8) * 8
-                ws = jnp.clip(ws_raw, 0, Yp - 8 * _N_WIN)
+                ws = jnp.clip(ws_raw - row0, 0, Yl - 8 * _N_WIN)
 
                 xic = jnp.clip(xi, 0, Xp - 1)
                 uchunk = jnp.broadcast_to(xic // 128, (8, 128))
@@ -211,7 +229,7 @@ def _sweep_kernel(
                 for k in range(_N_WIN):
                     wk = pl.multiple_of(ws + 8 * k, 8)
                     win = slab_ref[m, pl.ds(wk, 8), :].astype(jnp.float32)
-                    vloc = yi - wk  # [8,1]
+                    vloc = yil - wk  # [8,1]
                     rmask = (vloc >= 0) & (vloc < 8)
                     ridx = jnp.broadcast_to(jnp.clip(vloc, 0, 7), (8, Xp))
                     rows = jnp.take_along_axis(win, ridx, axis=0)
@@ -223,7 +241,10 @@ def _sweep_kernel(
                         acc = jnp.where(sel, lane, acc)
 
                 f_new = acc * (1.0 / SHORTMAX)
-                yok = (yi >= 1) & (yi < Yp - 1)
+                yok = (
+                    (yi >= jnp.maximum(1, row_lo))
+                    & (yi < jnp.minimum(Yp - 1, row_hi + 1))
+                )
                 xok = (xi >= 1) & (xi < Xp - 1)
                 zok = t_ok & (zg >= 1) & (zg < Zp - 1)
                 valid = zok & yok & xok  # [8,128] via broadcast
@@ -267,22 +288,37 @@ def _sweep_face_rays(
     vs_p: Tuple[float, float, float],
     spec: RaySpec,
     interpret: bool,
+    dims_global: Tuple[int, int, int] | None = None,
+    plane0: jnp.ndarray | int = 0,
+    row0: jnp.ndarray | int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """March all face rays through the primed volume; returns (hit_t, back_t)
-    [F, F] f32 in the t = z' - o'_z parameterization (+inf = no event)."""
-    Zp, Yp, Xp = tsdf_p.shape
+    [F, F] f32 in the t = z' - o'_z parameterization (+inf = no event).
+
+    `tsdf_p` may be a LOCAL slab of a (Zg, Yg, Xg) = `dims_global` primed
+    volume, starting at global plane `plane0` (sweep-axis sharding) or
+    global row `row0` (row-axis sharding; include halo rows so boundary
+    crossings resolve locally). Events outside the local buffer stay +inf —
+    the sharded caller min-composites across shards (parallel/sharded.py).
+    """
+    Zl, Yl, Xp = tsdf_p.shape
+    Zg, Yg, _ = dims_global if dims_global is not None else (Zl, Yl, Xp)
     F = spec.size
-    n_slabs = Zp // 8
+    n_slabs = Zl // 8
     n_tile_cols = F // 128
     n_tile_rows = F // 8
     n_tiles = n_tile_rows * n_tile_cols
 
     vsx, vsy, vsz = vs_p
     ox, oy, oz = origin_p[0], origin_p[1], origin_p[2]
+    plane0 = jnp.asarray(plane0, jnp.int32)
+    row0 = jnp.asarray(row0, jnp.int32)
+    plane0f = plane0.astype(jnp.float32)
+    row0f = row0.astype(jnp.float32)
 
     # ---- host-side (traced, vector jnp) work-list construction ----------
-    # 8^3-pooled "contains negative voxel" map + per-slab 2D SAT
-    Zc, Yc, Xc = Zp // 8, Yp // 8, Xp // 8
+    # 8^3-pooled "contains negative voxel" map + per-slab 2D SAT (LOCAL)
+    Zc, Yc, Xc = Zl // 8, Yl // 8, Xp // 8
     neg = (
         tsdf_p.reshape(Zc, 8, Yc, 8, Xc, 8).min(axis=(1, 3, 5)) < 0
     )  # [Zc, Yc, Xc]
@@ -306,8 +342,8 @@ def _sweep_face_rays(
     dx_hi = (tcol + 127.0 - cc) / fo
 
     sidx = jnp.arange(n_slabs, dtype=jnp.float32)
-    t_lo = jnp.maximum(sidx * 8.0 * vsz - oz, 0.0)[:, None]  # [S,1]
-    t_hi = jnp.maximum((sidx * 8.0 + 7.0) * vsz - oz, 0.0)[:, None]
+    t_lo = jnp.maximum((plane0f + sidx * 8.0) * vsz - oz, 0.0)[:, None]  # [S,1]
+    t_hi = jnp.maximum((plane0f + sidx * 8.0 + 7.0) * vsz - oz, 0.0)[:, None]
 
     def rng(d_lo, d_hi, o, inv):
         cands = jnp.stack(
@@ -323,9 +359,11 @@ def _sweep_face_rays(
     y0, y1 = rng(dy_lo, dy_hi, oy, 1.0 / vsy)  # [S, T] voxel units
     x0, x1 = rng(dx_lo, dx_hi, ox, 1.0 / vsx)
 
-    # pad 1 voxel for rounding, convert to cell bounds
-    yc0 = jnp.clip(jnp.floor((y0 - 1.0) / 8.0).astype(jnp.int32), 0, Yc)
-    yc1 = jnp.clip(jnp.ceil((y1 + 2.0) / 8.0).astype(jnp.int32), 0, Yc)
+    # pad 1 voxel for rounding, convert to LOCAL cell bounds
+    yc0 = jnp.clip(
+        jnp.floor((y0 - row0f - 1.0) / 8.0).astype(jnp.int32), 0, Yc
+    )
+    yc1 = jnp.clip(jnp.ceil((y1 - row0f + 2.0) / 8.0).astype(jnp.int32), 0, Yc)
     xc0 = jnp.clip(jnp.floor((x0 - 1.0) / 8.0).astype(jnp.int32), 0, Xc)
     xc1 = jnp.clip(jnp.ceil((x1 + 2.0) / 8.0).astype(jnp.int32), 0, Xc)
     sflat = sat.reshape(Zc, -1)
@@ -362,10 +400,20 @@ def _sweep_face_rays(
 
     prm = jnp.array([ox, oy, oz, vsx, vsy, vsz, spec.focal, spec.centre],
                     jnp.float32)
+    geom = jnp.stack(
+        [
+            jnp.asarray(Zg, jnp.int32),
+            jnp.asarray(Yg, jnp.int32),
+            plane0,
+            row0,
+            row0,  # row_lo: first buffer row
+            row0 + jnp.asarray(Yl - 1, jnp.int32),  # row_hi: last buffer row
+        ]
+    )
 
     kern = functools.partial(
         _sweep_kernel,
-        dims_p=(Zp, Yp, Xp),
+        dims_local=(Zl, Yl, Xp),
         spec=spec,
         n_tile_cols=n_tile_cols,
         n_tiles=n_tiles,
@@ -379,7 +427,8 @@ def _sweep_face_rays(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, Yp, Xp), lambda s: (s, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, Yl, Xp), lambda s: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[full_out, full_out],
@@ -392,7 +441,7 @@ def _sweep_face_rays(
             pltpu.SMEM((n_tiles,), jnp.int32),
         ],
         interpret=interpret,
-    )(prm, order, counts, own_t.astype(jnp.int32), tsdf_p)
+    )(prm, geom, order, counts, own_t.astype(jnp.int32), tsdf_p)
     return hit, back
 
 

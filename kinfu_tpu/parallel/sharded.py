@@ -161,6 +161,130 @@ def sharded_raycast(
     return vout, nout
 
 
+def sharded_raycast_warped(
+    tsdf_local: jnp.ndarray,
+    cam2vol: Pose,
+    intr: Intrinsics,
+    params: KinFuParams,
+    axis_name: str = VOLUME_AXIS,
+    interpret: bool | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cube-face plane-sweep raycast over a Z-sharded volume.
+
+    Runs the SAME Pallas sweep kernel as the single-chip warped raycast
+    (ops/pallas_raycast.py) on each shard's halo-padded slab — the kernel
+    takes the shard's global plane/row offsets as traced scalars — then
+    min-composites the per-face (hit_t, back_t) fields across the mesh
+    with a pmin (events duplicated in the 8-row halos land on the same
+    global grid, so the composite is exact). Shading/resample run
+    replicated on every device. Call inside shard_map."""
+    from kinfu_tpu.ops.facewarp import face_frames
+    from kinfu_tpu.ops.pallas_raycast import (
+        RaySpec,
+        _face_fields,
+        _faces_needed,
+        _prime_geometry,
+        _resample_face,
+        _sweep_face_rays,
+    )
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    size, focal = params.raycast_face
+    spec = RaySpec(size=int(size), focal=float(focal))
+    h, w = intr.height, intr.width
+    R, tt = cam2vol
+    org = tt
+
+    Zl, Y, X = tsdf_local.shape
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    Zg = Zl * n
+    z0 = idx * Zl
+    HALO8 = 8  # one 8-row block each side: covers the <=~4.3-row sample
+    # drift between consecutive planes plus rounding, and keeps window
+    # starts 8-aligned
+    padded = halo_exchange_z(tsdf_local, axis_name, halo=HALO8)
+
+    acc = (
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w), jnp.bool_),
+    )
+
+    def run_face(a, frame):
+        D, off, vs_p = _prime_geometry(frame, params)
+        org_p = D @ org + off
+        prim = jnp.transpose(padded, frame.axes)
+        if frame.flip:
+            prim = jnp.flip(prim, axis=0)
+        dims_g = tuple(
+            (Zg, Y, X)[ax] for ax in frame.axes
+        )  # primed GLOBAL dims
+
+        # which primed axis carries the volume-Z shard?
+        z_axis_pos = frame.axes.index(0)
+        if z_axis_pos == 0:  # plane-sharded (+-z faces)
+            if frame.flip:
+                plane0 = Zg - (z0 + Zl + HALO8)
+            else:
+                plane0 = z0 - HALO8
+            row0 = jnp.asarray(0, jnp.int32)
+        else:  # row-sharded (+-y / +-x faces); flip acts on the plane axis
+            assert z_axis_pos == 1, frame.name
+            plane0 = jnp.asarray(0, jnp.int32)
+            row0 = z0 - HALO8
+
+        hit, back = _sweep_face_rays(
+            prim, org_p, vs_p, spec, interpret,
+            dims_global=dims_g, plane0=plane0, row0=row0,
+        )
+        hit = jax.lax.pmin(hit, axis_name)
+        back = jax.lax.pmin(back, axis_name)
+
+        t_f, n_f, _ = _face_fields(hit, back, org_p, spec)
+        A = D @ R
+        t_cam, n_cam_p = _resample_face(t_f, n_f, A, intr, spec, interpret)
+
+        rays = intr.pixel_rays()
+        d_p = jnp.einsum("ij,hwj->hwi", A, rays)
+        adx, ady, dz = jnp.abs(d_p[..., 0]), jnp.abs(d_p[..., 1]), d_p[..., 2]
+        own_x = (adx < dz) if frame.gt_x else (adx <= dz)
+        own_y = (ady < dz) if frame.gt_y else (ady <= dz)
+        own = (dz > 0) & own_x & own_y
+
+        ok = t_cam < _INF
+        tsafe = jnp.where(ok, t_cam, 0.0)
+        p_p = org_p[None, None, :] + d_p / jnp.maximum(dz, 1e-9)[
+            ..., None
+        ] * tsafe[..., None]
+        p_v = jnp.einsum("ji,hwj->hwi", D, p_p - off[None, None, :])
+        n_v = jnp.einsum("ji,hwj->hwi", D, n_cam_p)
+        sel = (own & ok)[..., None]
+        nz = jnp.any(jnp.abs(n_v) > 0, axis=-1)
+        return (
+            jnp.where(sel, p_v, a[0]),
+            jnp.where(sel, n_v, a[1]),
+            jnp.where(own & ok & nz, True, a[2]),
+        )
+
+    flags = _faces_needed(cam2vol, intr)
+    for frame in face_frames():
+        acc = jax.lax.cond(
+            flags[frame.name],
+            lambda a, fr=frame: run_face(a, fr),
+            lambda a: a,
+            acc,
+        )
+
+    vertex, normal, valid = acc
+    Rinv = R.T
+    vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
+    ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
+    mask = valid[..., None]
+    return jnp.where(mask, vcam, 0.0), jnp.where(mask, ncam, 0.0)
+
+
 def _row_shard(img: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Slice this device's block of image rows (for the ICP psum reduce).
 
@@ -243,7 +367,28 @@ def kinfu_step_local(
                 state.vol, dmaps[0], color_rgb, vol2cam, intr, params, z_offset=z_offset
             )
             cam2vol = compose(inverse(vol_pose), new_pose)
-            rv, rn = sharded_raycast(vol.tsdf, cam2vol, intr, params, axis_name)
+            from kinfu_tpu.ops.facewarp import warp_dims_ok
+
+            Zl_ = vol.tsdf.shape[0]
+            Zg_ = Zl_ * jax.lax.axis_size(axis_name)
+            warp_ok = (
+                warp_dims_ok((Zg_,) + vol.tsdf.shape[1:]) and Zl_ % 8 == 0
+            )
+            mode = params.raycast_mode
+            if mode == "auto":
+                mode = (
+                    "warped"
+                    if jax.default_backend() == "tpu" and warp_ok
+                    else "step"
+                )
+            if mode == "warped" and warp_ok:
+                rv, rn = sharded_raycast_warped(
+                    vol.tsdf, cam2vol, intr, params, axis_name
+                )
+            else:
+                rv, rn = sharded_raycast(
+                    vol.tsdf, cam2vol, intr, params, axis_name
+                )
             mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
             new_state = KinFuState(
                 vol=vol,

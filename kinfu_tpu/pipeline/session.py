@@ -44,6 +44,8 @@ class KinFuSession:
         params: Optional[KinFuParams] = None,
         relocalize: bool = False,
         streaming: bool = False,
+        pose_graph: bool = False,
+        loop_config=None,
     ):
         self.intr = intr
         self.params = params or KinFuParams()
@@ -81,6 +83,57 @@ class KinFuSession:
                     relocalize_step, params=self.params, intr=intr
                 )
             )
+        # ---- pose graph / loop closure (mapping/loop_closure.py) ----
+        self.pose_graph = pose_graph and not streaming
+        self.loop_closures: List[dict] = []
+        if self.pose_graph:
+            from kinfu_tpu.mapping.keyframes import KeyframeStore
+            from kinfu_tpu.mapping.loop_closure import LoopClosureConfig
+            from kinfu_tpu.frontend.maps import build_measurement_pyramid
+            from kinfu_tpu.tracking.icp import rigid_icp
+            from kinfu_tpu.geometry.se3 import pose_matrix as _pm
+
+            self.loop_config = loop_config or LoopClosureConfig()
+            self.pg_keyframes = KeyframeStore(
+                min_translation=self.loop_config.kf_min_translation,
+                min_rotation_deg=self.loop_config.kf_min_rotation_deg,
+            )
+            self._pg_cooldown = 0
+            p = self.params
+
+            @jax.jit
+            def _measurement_pyr(depth):
+                _, vm, nm = build_measurement_pyramid(
+                    depth,
+                    intr,
+                    pyramid_height=p.pyramid_height,
+                    bfilter_kernel_size=p.bfilter_kernel_size,
+                    bfilter_color_sigma=p.bfilter_color_sigma,
+                    bfilter_spatial_sigma=p.bfilter_spatial_sigma,
+                    depth_scale=p.depth_scale,
+                    max_dist=p.dfilter_dist,
+                    normal_disc_threshold=p.normal_disc_threshold,
+                )
+                return tuple(vm), tuple(nm)
+
+            @jax.jit
+            def _closure_icp(cur_v, cur_n, kf_v, kf_n, z0):
+                # seed with the drifted relative estimate z0 = T_kf^-1 T_cur
+                # (ICP's 15 mm gate cannot associate across the raw revisit
+                # offset): pre-transform the current maps by z0, estimate
+                # the residual increment, compose Z = inc @ z0. Zero-normal
+                # (invalid) pixels stay masked under the rotation.
+                R0, t0 = z0[:3, :3], z0[:3, 3]
+                cv = tuple(
+                    jnp.einsum("ij,hwj->hwi", R0, v) + t0 for v in cur_v
+                )
+                cn = tuple(jnp.einsum("ij,hwj->hwi", R0, n) for n in cur_n)
+                res = rigid_icp(cv, cn, kf_v, kf_n, intr, p)
+                return _pm(res.pose) @ z0, res.ok, res.num_inliers
+
+            self._measurement_pyr = _measurement_pyr
+            self._closure_icp = _closure_icp
+
         self.pose_record: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
         self.frame_count = 1
         self.frame_times_ms: List[float] = []
@@ -134,13 +187,91 @@ class KinFuSession:
             self.frame_count += 1
             if self.keyframes is not None:
                 self.keyframes.maybe_add(self.frame_count, pose_m)
+            if self.pose_graph:
+                pose_m = self._pose_graph_update(depth, pose_m)
         elif self.relocalizer is None:
             # reference-parity: the jitted step already reset device state
             self.pose_record = [np.eye(4, dtype=np.float32)]
             self.frame_count = 1
+            self._clear_pose_graph()
         ms = (time.perf_counter() - t0) * 1e3
         self.frame_times_ms.append(ms)
         return ok
+
+    def _clear_pose_graph(self) -> None:
+        """A map wipe invalidates every keyframe (their poses live in the
+        discarded coordinate frame) — clear them or a later closure would
+        'correct' the fresh trajectory against stale geometry."""
+        if self.pose_graph:
+            self.pg_keyframes.keyframes.clear()
+            self._pg_cooldown = 0
+
+    def _pose_graph_update(self, depth, pose_m: np.ndarray) -> np.ndarray:
+        """Keyframe bookkeeping + loop-closure detection/correction for one
+        tracked frame. Returns the (possibly corrected) current pose."""
+        from kinfu_tpu.geometry.se3 import pose_from_matrix
+        from kinfu_tpu.mapping.loop_closure import close_loop, find_candidate
+
+        ks = self.state.kinfu if self.streaming else self.state
+        cur_index = len(self.pose_record) - 1
+        if self._pg_cooldown > 0:
+            self._pg_cooldown -= 1
+        else:
+            cand = find_candidate(self.pg_keyframes, pose_m, self.loop_config)
+            if cand is not None:
+                kf = self.pg_keyframes.keyframes[cand]
+                cur_v, cur_n = self._measurement_pyr(depth)
+                z0 = np.linalg.inv(
+                    kf.pose.astype(np.float64)
+                ) @ pose_m.astype(np.float64)
+                z, ok, ninl = self._closure_icp(
+                    cur_v,
+                    cur_n,
+                    tuple(jnp.asarray(v) for v in kf.vmaps),
+                    tuple(jnp.asarray(n) for n in kf.nmaps),
+                    jnp.asarray(z0, jnp.float32),
+                )
+                thresh = self.loop_config.min_inlier_frac * (
+                    self.intr.width * self.intr.height
+                )
+                if bool(ok) and int(ninl) >= thresh:
+                    corrected, new_cur, rms = close_loop(
+                        self.pg_keyframes,
+                        self.pose_record,
+                        cand,
+                        pose_m,
+                        np.asarray(z),
+                        self.loop_config,
+                    )
+                    self.pose_record = corrected
+                    pose_m = new_cur
+                    self.pose_record[cur_index] = new_cur
+                    self.state = (
+                        self.state._replace(
+                            kinfu=ks._replace(pose=pose_from_matrix(jnp.asarray(new_cur)))
+                        )
+                        if self.streaming
+                        else self.state._replace(
+                            pose=pose_from_matrix(jnp.asarray(new_cur))
+                        )
+                    )
+                    self.loop_closures.append(
+                        {
+                            "frame": cur_index,
+                            "keyframe": int(kf.index),
+                            "inliers": int(ninl),
+                            "rms": rms,
+                        }
+                    )
+                    self._pg_cooldown = self.loop_config.cooldown_frames
+
+        self.pg_keyframes.maybe_add(
+            cur_index,
+            pose_m,
+            vmaps=tuple(np.asarray(v) for v in ks.model_vmaps),
+            nmaps=tuple(np.asarray(n) for n in ks.model_nmaps),
+        )
+        return pose_m
 
     def _try_relocalize(self, depth, color):
         """Attempt to re-acquire the kept map from keyframe seed poses;
@@ -172,6 +303,7 @@ class KinFuSession:
             self.state = init_state(self.params, self.intr)
         self.pose_record = [np.eye(4, dtype=np.float32)]
         self.frame_count = 1
+        self._clear_pose_graph()
 
     def get_render_map(self, mode: str = PHONG) -> np.ndarray:
         return np.asarray(self._render(self.state, mode))

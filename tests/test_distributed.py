@@ -178,3 +178,64 @@ def test_sharded_warped_kernels_match_single_device():
         tsdf_to_float(st_s.vol.tsdf),
         atol=2e-3,
     )
+
+
+def _sharded_warp_raycast_case(yaw_deg):
+    """sharded_raycast_warped vs single-device raycast_warped on the same
+    128^3 volume. yaw=0 exercises plane-sharded (+z) sweeps, yaw=90 the
+    row-sharded (+x/-x family) path."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kinfu_tpu.geometry.se3 import rodrigues
+    from kinfu_tpu.ops.pallas_raycast import raycast_warped
+    from kinfu_tpu.parallel.sharded import sharded_raycast_warped
+    from kinfu_tpu.volume.tsdf import TSDFVolume, tsdf_to_fixed
+
+    dim = 128
+    params = KinFuParams(
+        pyramid_height=1, icp_iters=(3,), volume_dims=(dim,) * 3,
+        volume_range=(3.0, 3.0, 3.0),
+    )
+    vs = params.voxel_size[0]
+    g = (np.arange(dim) * vs).astype(np.float32)
+    Z, Y, X = np.meshgrid(g, g, g, indexing="ij")
+    d = np.sqrt((X - 1.5) ** 2 + (Y - 1.5) ** 2 + (Z - 1.5) ** 2) - 0.6
+    tsdf = tsdf_to_fixed(jnp.asarray(np.clip(d / params.trunc_dist, -1, 1)))
+    vol = TSDFVolume(tsdf=tsdf, weight=None, color=None)
+
+    R = rodrigues(jnp.array([0.0, np.deg2rad(yaw_deg), 0.0], jnp.float32))
+    t = jnp.asarray(
+        np.array([1.5, 1.5, 1.5], np.float32)
+        - 1.3 * np.asarray(R)[:, 2]  # 1.3 m back along the view direction
+    )
+    from kinfu_tpu.geometry.se3 import Pose
+
+    c2v = Pose(R=R, t=t)
+
+    vm_s, nm_s = raycast_warped(vol, c2v, INTR, params, interpret=True)
+
+    mesh = make_mesh(8)
+    fn = shard_map(
+        partial(sharded_raycast_warped, intr=INTR, params=params,
+                interpret=True),
+        mesh=mesh,
+        in_specs=(P("z"), Pose(P(), P())),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    vm_d, nm_d = fn(tsdf, c2v)
+
+    np.testing.assert_allclose(np.asarray(vm_d), np.asarray(vm_s), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nm_d), np.asarray(nm_s), atol=1e-4)
+    assert np.any(np.asarray(nm_s) != 0)
+
+
+def test_sharded_warped_raycast_plane_sharded():
+    _sharded_warp_raycast_case(0.0)
+
+
+def test_sharded_warped_raycast_row_sharded():
+    _sharded_warp_raycast_case(90.0)
