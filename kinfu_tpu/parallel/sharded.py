@@ -269,13 +269,29 @@ def sharded_raycast_warped(
         )
 
     flags = _faces_needed(cam2vol, intr)
-    for frame in face_frames():
-        acc = jax.lax.cond(
-            flags[frame.name],
-            lambda a, fr=frame: run_face(a, fr),
-            lambda a: a,
-            acc,
-        )
+    frames_all = list(face_frames())
+    # single-face switch dispatch (same rationale as raycast_warped: the
+    # cond chain stages the volume operand ~15 ms/frame at 512^3)
+    flag_vec = jnp.stack([flags[fr.name] for fr in frames_all])
+    nset = jnp.sum(flag_vec.astype(jnp.int32))
+    code = jnp.where(nset == 1, jnp.argmax(flag_vec), len(frames_all))
+
+    def single(fr):
+        return lambda a: run_face(a, fr)
+
+    def chain(a):
+        for fr in frames_all:
+            a = jax.lax.cond(
+                flags[fr.name],
+                lambda x, f=fr: run_face(x, f),
+                lambda x: x,
+                a,
+            )
+        return a
+
+    acc = jax.lax.switch(
+        code, [single(fr) for fr in frames_all] + [chain], acc
+    )
 
     vertex, normal, valid = acc
     Rinv = R.T

@@ -69,7 +69,7 @@ def main():
     F = spec.size
 
     @jax.jit
-    def run(n_full, n_sweep, n_prep, n_fields, tsdf, hit0, back0):
+    def run(n_full, n_pinned, n_sweep, n_prep, n_fields, tsdf, hit0, back0):
         from kinfu_tpu.volume.tsdf import TSDFVolume
 
         def loop(n, body, c0):
@@ -86,6 +86,16 @@ def main():
             return seed + vm[0, 0, 2] * 1e-30
 
         a = loop(n_full, full_body, jnp.float32(0))
+
+        def pinned_body(seed):
+            from kinfu_tpu.geometry.se3 import Pose
+
+            c2v = Pose(cam2vol.R, cam2vol.t + seed * 1e-30)
+            vm, nm = raycast_warped(vol, c2v, intr, params, spec=spec,
+                                    interpret=False, faces=("+z",))
+            return seed + vm[0, 0, 2] * 1e-30
+
+        a2 = loop(n_pinned, pinned_body, jnp.float32(0))
 
         org_p = cam2vol.t
 
@@ -122,7 +132,7 @@ def main():
             return seed + t_cam[0, 0] * 1e-30
 
         d = loop(n_fields, fields_body, jnp.float32(0))
-        return a + b + c + d
+        return a + a2 + b + c + d
 
     hit0 = jnp.full((F, F), 2.0, jnp.float32)
     back0 = jnp.full((F, F), 1e30, jnp.float32)
@@ -134,14 +144,14 @@ def main():
 
     print("compiling...", flush=True)
     t0 = time.perf_counter()
-    t(1, 1, 1, 1)
+    t(1, 1, 1, 1, 1)
     print(f"compile+first: {time.perf_counter()-t0:.0f} s", flush=True)
 
-    base = min(t(1, 1, 1, 1) for _ in range(3))
+    base = min(t(1, 1, 1, 1, 1) for _ in range(3))
     K = args.iters
     results = {}
-    for i, nm in enumerate(["full_auto", "sweep_pz", "worklist_prep", "fields_resample"]):
-        ns = [1, 1, 1, 1]
+    for i, nm in enumerate(["full_auto", "full_pinned_pz", "sweep_pz", "worklist_prep", "fields_resample"]):
+        ns = [1, 1, 1, 1, 1]
         ns[i] = 1 + K
         tt = min(t(*ns) for _ in range(3))
         results[nm] = (tt - base) / K
