@@ -131,3 +131,25 @@ def test_metrics_recorder(tmp_path):
 
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) == 3 and lines[2]["frame"] == 2
+
+
+def test_streaming_corridor_scale():
+    """Corridor-scale sequence (BASELINE.json config 4): the camera walks
+    1.4 m forward — the moving volume must shift its grid (origin_vox
+    changes) and tracking must survive with small ATE, all through the
+    public session API."""
+    from kinfu_tpu.data.synthetic import make_translation_trajectory
+    from kinfu_tpu.eval.ate import ate_rmse
+    from kinfu_tpu.pipeline.session import KinFuSession
+
+    traj = make_translation_trajectory(100, step=(0.0, 0.0, 0.014))
+    scene = default_test_scene()
+    frames = [scene.render_frame(T, INTR) for T in traj]
+    gt = [np.linalg.inv(traj[0]) @ T for T in traj]
+
+    sess = KinFuSession(INTR, PARAMS, streaming=True)
+    for d, c in frames:
+        assert sess.pipeline(c, d)
+    assert np.any(np.asarray(sess.state.origin_vox) != 0), "grid never shifted"
+    ate = ate_rmse(sess.pose_record, gt[: len(sess.pose_record)])
+    assert ate < 0.05, ate
