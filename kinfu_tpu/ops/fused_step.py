@@ -1,0 +1,177 @@
+"""Fused TPU volume update: integrate + raycast + failure-reset in ONE
+conditional.
+
+XLA stages every lax.cond/lax.switch operand and result through fresh
+buffers, so each conditional layer that carries the TSDF volume costs
+full-volume copies (~4-8 ms per layer at 512^3, measured r3 —
+tools/integrate_probe.py, tools/raycast_probe.py, bench deltas). The
+per-frame step needs three volume-touching decisions:
+
+  - which cube face(s) to fuse        (pallas_integrate.integrate_warped)
+  - which cube face(s) to raycast     (pallas_raycast.raycast_warped)
+  - tracked vs failed (reset)         (pipeline.kinfu.kinfu_step)
+
+The fusion and raycast face sets are IDENTICAL — fusion gates on the
+frustum directions in volume coordinates via vol2cam.R^T, raycast via
+cam2vol.R, and cam2vol.R == vol2cam.R^T — so all three decisions collapse
+into one lax.switch over branches:
+
+  0..5   single face f: fusion sweep + raycast sweep + shade/resample
+  6      multi-face fallback: cond-chains over both kernels (rare frames
+         whose frustum straddles a cube edge/corner)
+  7      tracking failure: reset volume, zero prediction maps
+
+The volume arrays cross exactly ONE conditional boundary per frame.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from kinfu_tpu.config import KinFuParams
+from kinfu_tpu.geometry.intrinsics import Intrinsics
+from kinfu_tpu.geometry.se3 import Pose
+from kinfu_tpu.ops.facewarp import face_frames, warp_dims_ok
+from kinfu_tpu.ops.facewarp import default_face_spec
+from kinfu_tpu.ops.pallas_integrate import _sweep_face, faces_needed
+from kinfu_tpu.ops.pallas_raycast import RaySpec, _face_pass
+from kinfu_tpu.volume.tsdf import TSDFVolume
+
+
+def fused_supported(vol_shape, params: KinFuParams) -> bool:
+    """True when the fused switch path can serve this configuration."""
+    modes_ok = params.integrate_mode in ("auto", "warped") and (
+        params.raycast_mode in ("auto", "warped")
+    )
+    return (
+        modes_ok
+        and jax.default_backend() == "tpu"
+        and warp_dims_ok(vol_shape)
+    )
+
+
+def fused_update(
+    vol: TSDFVolume,
+    depth_m: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    vol2cam: Pose,
+    cam2vol: Pose,
+    intr: Intrinsics,
+    params: KinFuParams,
+    good: jnp.ndarray,
+    interpret: bool | None = None,
+    reset_on_fail: bool = True,
+):
+    """One-switch volume update.
+
+    Returns (vol', vmap [H,W,3], nmap [H,W,3]) — camera-frame raycast
+    prediction of the post-fusion surface, zeros on the failure branch
+    (`good` False: volume reset when reset_on_fail, else kept for the
+    relocalizer)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    size, focal = params.raycast_face
+    rspec = RaySpec(size=int(size), focal=float(focal))
+    h, w = intr.height, intr.width
+    R, tt = cam2vol
+    org = tt
+
+    frames = list(face_frames())
+    col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
+
+    def sweep(arrays, fr):
+        return _sweep_face(
+            *arrays,
+            fr,
+            depth_m=depth_m,
+            color_rgb=color_rgb,
+            vol2cam=vol2cam,
+            intr=intr,
+            params=params,
+            spec=default_face_spec(),
+            interpret=interpret,
+        )
+
+    def ray_face(acc, tsdf, fr):
+        p_v, n_v, ok, own = _face_pass(
+            tsdf, fr, cam2vol, intr, params, rspec, interpret
+        )
+        sel = (own & ok)[..., None]
+        nz = jnp.any(jnp.abs(n_v) > 0, axis=-1)
+        return (
+            jnp.where(sel, p_v, acc[0]),
+            jnp.where(sel, n_v, acc[1]),
+            jnp.where(own & ok & nz, True, acc[2]),
+        )
+
+    acc0 = (
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w), jnp.bool_),
+    )
+
+    flags = faces_needed(vol2cam, intr)  # == raycast's flags (R^T == cam R)
+    flag_vec = jnp.stack([flags[fr.name] for fr in frames])
+    nset = jnp.sum(flag_vec.astype(jnp.int32))
+    code = jnp.where(nset == 1, jnp.argmax(flag_vec), len(frames))
+    code = jnp.where(good, code, len(frames) + 1)
+
+    def single(fr):
+        def branch(a):
+            t, wgt, c = sweep((a[0], a[1], a[2]), fr)
+            acc = ray_face(acc0, t, fr)
+            return t, wgt, c, *acc
+
+        return branch
+
+    def chain(a):
+        arrs = (a[0], a[1], a[2])
+        for fr in frames:
+            arrs = jax.lax.cond(
+                flags[fr.name],
+                lambda x, f=fr: sweep(x, f),
+                lambda x: x,
+                arrs,
+            )
+        acc = acc0
+        for fr in frames:
+            acc = jax.lax.cond(
+                flags[fr.name],
+                lambda x, f=fr: ray_face(x, arrs[0], f),
+                lambda x: x,
+                acc,
+            )
+        return (*arrs, *acc)
+
+    def fail(a):
+        if reset_on_fail:  # kinectfusion.cpp:97-102 reset
+            return (
+                jnp.zeros_like(a[0]),
+                jnp.zeros_like(a[1]),
+                jnp.zeros_like(a[2]),
+                *acc0,
+            )
+        return (*a, *acc0)  # keep the map (relocalizer owns recovery)
+
+    outs = jax.lax.switch(
+        code,
+        [single(fr) for fr in frames] + [chain, fail],
+        (vol.tsdf, vol.weight, col_i32),
+    )
+    tsdf_n, weight_n, col_n, vertex, normal, valid = outs
+
+    Rinv = R.T
+    vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
+    ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
+    mask = valid[..., None]
+    vol_n = TSDFVolume(
+        tsdf=tsdf_n,
+        weight=weight_n,
+        color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
+    )
+    return (
+        vol_n,
+        jnp.where(mask, vcam, 0.0),
+        jnp.where(mask, ncam, 0.0),
+    )

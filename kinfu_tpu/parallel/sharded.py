@@ -344,100 +344,89 @@ def kinfu_step_local(
         normal_disc_threshold=params.normal_disc_threshold,
     )
 
-    def bootstrap(state: KinFuState):
-        vol2cam = compose(inverse(state.pose), vol_pose)
+    # Same single-conditional structure as pipeline.kinfu.kinfu_step (see
+    # its structure note): the volume shard passes through exactly ONE
+    # lax.cond; ICP runs every frame (zero model maps on frame 1 are
+    # rejected by the correspondence mask) and small selects handle the
+    # bootstrap special cases.
+    is_first = state.frame_count == 1
+    cur_v = [_row_shard(v, axis_name) for v in vmaps]
+    cur_n = [_row_shard(n, axis_name) for n in nmaps]
+    icp = rigid_icp(
+        cur_v,
+        cur_n,
+        state.model_vmaps,
+        state.model_nmaps,
+        intr,
+        params,
+        axis_name=axis_name,
+    )
+    good = (icp.ok & ~is_first) | is_first
+
+    tracked_pose = compose(state.pose, icp.pose)
+    new_pose = jax.tree.map(
+        lambda a, b: jnp.where(is_first, a, b), state.pose, tracked_pose
+    )
+
+    def fuse(vol):
+        vol2cam = compose(inverse(new_pose), vol_pose)
         vol = integrate(
-            state.vol, dmaps[0], color_rgb, vol2cam, intr, params, z_offset=z_offset
+            vol, dmaps[0], color_rgb, vol2cam, intr, params, z_offset=z_offset
         )
-        new_state = KinFuState(
-            vol=vol,
-            pose=state.pose,
-            model_vmaps=tuple(vmaps),
-            model_nmaps=tuple(nmaps),
-            frame_count=jnp.asarray(2, dtype=jnp.int32),
+        cam2vol = compose(inverse(vol_pose), new_pose)
+        from kinfu_tpu.ops.facewarp import warp_dims_ok
+
+        Zl_ = vol.tsdf.shape[0]
+        Zg_ = Zl_ * jax.lax.axis_size(axis_name)
+        warp_ok = warp_dims_ok((Zg_,) + vol.tsdf.shape[1:]) and Zl_ % 8 == 0
+        mode = params.raycast_mode
+        if mode == "auto":
+            mode = (
+                "warped"
+                if jax.default_backend() == "tpu" and warp_ok
+                else "step"
+            )
+        if mode == "warped" and warp_ok:
+            rv, rn = sharded_raycast_warped(
+                vol.tsdf, cam2vol, intr, params, axis_name
+            )
+        else:
+            rv, rn = sharded_raycast(vol.tsdf, cam2vol, intr, params, axis_name)
+        mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
+        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
+        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
+        return vol, mv, mn
+
+    def fail(vol):
+        return (
+            reset_volume(vol),
+            tuple(jnp.zeros_like(v) for v in state.model_vmaps),
+            tuple(jnp.zeros_like(n) for n in state.model_nmaps),
         )
-        out = StepOutput(
-            pose_matrix=pose_matrix(state.pose),
-            tracking_ok=jnp.asarray(True),
-            icp_inliers=jnp.asarray(0, jnp.int32),
-        )
-        return new_state, out
 
-    def track_and_fuse(state: KinFuState):
-        cur_v = [_row_shard(v, axis_name) for v in vmaps]
-        cur_n = [_row_shard(n, axis_name) for n in nmaps]
-        icp = rigid_icp(
-            cur_v,
-            cur_n,
-            state.model_vmaps,
-            state.model_nmaps,
-            intr,
-            params,
-            axis_name=axis_name,
-        )
+    vol_n, mv, mn = jax.lax.cond(good, fuse, fail, state.vol)
 
-        def on_ok(_):
-            new_pose = compose(state.pose, icp.pose)
-            vol2cam = compose(inverse(new_pose), vol_pose)
-            vol = integrate(
-                state.vol, dmaps[0], color_rgb, vol2cam, intr, params, z_offset=z_offset
-            )
-            cam2vol = compose(inverse(vol_pose), new_pose)
-            from kinfu_tpu.ops.facewarp import warp_dims_ok
-
-            Zl_ = vol.tsdf.shape[0]
-            Zg_ = Zl_ * jax.lax.axis_size(axis_name)
-            warp_ok = (
-                warp_dims_ok((Zg_,) + vol.tsdf.shape[1:]) and Zl_ % 8 == 0
-            )
-            mode = params.raycast_mode
-            if mode == "auto":
-                mode = (
-                    "warped"
-                    if jax.default_backend() == "tpu" and warp_ok
-                    else "step"
-                )
-            if mode == "warped" and warp_ok:
-                rv, rn = sharded_raycast_warped(
-                    vol.tsdf, cam2vol, intr, params, axis_name
-                )
-            else:
-                rv, rn = sharded_raycast(
-                    vol.tsdf, cam2vol, intr, params, axis_name
-                )
-            mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
-            new_state = KinFuState(
-                vol=vol,
-                pose=new_pose,
-                model_vmaps=mv,
-                model_nmaps=mn,
-                frame_count=state.frame_count + 1,
-            )
-            out = StepOutput(
-                pose_matrix=pose_matrix(new_pose),
-                tracking_ok=jnp.asarray(True),
-                icp_inliers=icp.num_inliers,
-            )
-            return new_state, out
-
-        def on_fail(_):
-            new_state = KinFuState(
-                vol=reset_volume(state.vol),
-                pose=identity_pose(),
-                model_vmaps=jax.tree.map(jnp.zeros_like, state.model_vmaps),
-                model_nmaps=jax.tree.map(jnp.zeros_like, state.model_nmaps),
-                frame_count=jnp.asarray(1, dtype=jnp.int32),
-            )
-            out = StepOutput(
-                pose_matrix=pose_matrix(identity_pose()),
-                tracking_ok=jnp.asarray(False),
-                icp_inliers=icp.num_inliers,
-            )
-            return new_state, out
-
-        return jax.lax.cond(icp.ok, on_ok, on_fail, None)
-
-    return jax.lax.cond(state.frame_count == 1, bootstrap, track_and_fuse, state)
+    pose_n = jax.tree.map(
+        lambda a, b: jnp.where(good, a, b), new_pose, identity_pose()
+    )
+    fc_n = jnp.where(
+        good,
+        jnp.where(is_first, 2, state.frame_count + 1),
+        jnp.asarray(1, jnp.int32),
+    )
+    new_state = KinFuState(
+        vol=vol_n,
+        pose=pose_n,
+        model_vmaps=mv,
+        model_nmaps=mn,
+        frame_count=fc_n,
+    )
+    out = StepOutput(
+        pose_matrix=pose_matrix(pose_n),
+        tracking_ok=good,
+        icp_inliers=jnp.where(is_first, 0, icp.num_inliers),
+    )
+    return new_state, out
 
 
 def _state_specs(params: KinFuParams) -> KinFuState:

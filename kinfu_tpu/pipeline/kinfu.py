@@ -80,7 +80,17 @@ def kinfu_step(
     auto_reset=True reproduces the reference's recovery (tracking failure
     wipes map + pose, kinectfusion.cpp:97-102). auto_reset=False keeps the
     state untouched on failure so a relocalizer (mapping/relocalize.py +
-    relocalize_step) can try to re-acquire the existing map instead."""
+    relocalize_step) can try to re-acquire the existing map instead.
+
+    Structure note: the TSDF volume passes through exactly ONE lax.cond.
+    XLA stages conditional operands/results through fresh buffers, so every
+    conditional layer wrapping the 1.5 GB volume costs full-volume copies
+    (~4 ms each at 512^3, measured r3 — the original bootstrap/track +
+    ok/fail nesting cost ~15 ms/frame of pure staging). Bootstrap therefore
+    merges into the main path: ICP runs every frame (on frame 1 the model
+    maps are zero, which the correspondence mask rejects — its result is
+    discarded), and the small per-frame selects (pose, maps) use
+    jnp.where."""
     vol_pose = _volume_pose(params)
 
     dmaps, vmaps, nmaps = build_measurement_pyramid(
@@ -95,77 +105,104 @@ def kinfu_step(
         normal_disc_threshold=params.normal_disc_threshold,
     )
 
-    def bootstrap(state: KinFuState):
-        """First frame: fuse at the identity pose and seed the model maps
-        with the measurement (kinectfusion.cpp:84-93 — no raycast)."""
-        vol2cam = compose(inverse(state.pose), vol_pose)
-        vol = integrate(state.vol, dmaps[0], color_rgb, vol2cam, intr, params)
-        new_state = KinFuState(
-            vol=vol,
-            pose=state.pose,
-            model_vmaps=tuple(vmaps),
-            model_nmaps=tuple(nmaps),
-            frame_count=jnp.asarray(2, dtype=jnp.int32),
-        )
-        out = StepOutput(
-            pose_matrix=pose_matrix(state.pose),
-            tracking_ok=jnp.asarray(True),
-            icp_inliers=jnp.asarray(0, jnp.int32),
-        )
-        return new_state, out
+    is_first = state.frame_count == 1
+    icp = rigid_icp(
+        vmaps, nmaps, state.model_vmaps, state.model_nmaps, intr, params
+    )
+    good = icp.ok & ~is_first | is_first
 
-    def track_and_fuse(state: KinFuState):
-        icp = rigid_icp(
-            vmaps, nmaps, state.model_vmaps, state.model_nmaps, intr, params
-        )
+    # frame 1 fuses at the held pose (kinectfusion.cpp:84-93); tracked
+    # frames right-multiply the ICP increment (kinectfusion.cpp:104)
+    tracked_pose = compose(state.pose, icp.pose)
+    new_pose = jax.tree.map(
+        lambda a, b: jnp.where(is_first, a, b), state.pose, tracked_pose
+    )
 
-        def on_ok(_):
-            new_pose = compose(state.pose, icp.pose)
-            vol2cam = compose(inverse(new_pose), vol_pose)
-            vol = integrate(state.vol, dmaps[0], color_rgb, vol2cam, intr, params)
-            cam2vol = compose(inverse(vol_pose), new_pose)
+    from kinfu_tpu.ops.fused_step import fused_supported, fused_update
+
+    vol2cam = compose(inverse(new_pose), vol_pose)
+    cam2vol = compose(inverse(vol_pose), new_pose)
+    if fused_supported(state.vol.tsdf.shape, params):
+        # integrate + raycast + failure handling in ONE lax.switch — the
+        # volume crosses a single conditional boundary (see ops/fused_step)
+        vol_n, rv, rn = fused_update(
+            state.vol,
+            dmaps[0],
+            color_rgb,
+            vol2cam,
+            cam2vol,
+            intr,
+            params,
+            good,
+            reset_on_fail=auto_reset,
+        )
+        mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
+        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
+        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
+        if not auto_reset:
+            # failure keeps the old prediction maps for the relocalizer
+            mv = tuple(
+                jnp.where(good, a, b) for a, b in zip(mv, state.model_vmaps)
+            )
+            mn = tuple(
+                jnp.where(good, a, b) for a, b in zip(mn, state.model_nmaps)
+            )
+    else:
+
+        def fuse(vol):
+            vol = integrate(vol, dmaps[0], color_rgb, vol2cam, intr, params)
             rv, rn = raycast(vol, cam2vol, intr, params)
             mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
-            new_state = KinFuState(
-                vol=vol,
-                pose=new_pose,
-                model_vmaps=mv,
-                model_nmaps=mn,
-                frame_count=state.frame_count + 1,
+            # frame 1 seeds the model with the measurement — no raycast
+            # output is used (the raycast above is wasted work on that one
+            # frame; branching on it would re-wrap the volume in another
+            # conditional)
+            mv = tuple(
+                jnp.where(is_first, a, b) for a, b in zip(vmaps, mv)
             )
-            out = StepOutput(
-                pose_matrix=pose_matrix(new_pose),
-                tracking_ok=jnp.asarray(True),
-                icp_inliers=icp.num_inliers,
+            mn = tuple(
+                jnp.where(is_first, a, b) for a, b in zip(nmaps, mn)
             )
-            return new_state, out
+            return vol, mv, mn
 
-        def on_fail(_):
-            """tracking fail! -> full reset (kinectfusion.cpp:97-102), or —
-            with auto_reset=False — keep the map for relocalization."""
+        def fail(vol):
             if auto_reset:
-                new_state = KinFuState(
-                    vol=reset_volume(state.vol),
-                    pose=identity_pose(),
-                    model_vmaps=jax.tree.map(jnp.zeros_like, state.model_vmaps),
-                    model_nmaps=jax.tree.map(jnp.zeros_like, state.model_nmaps),
-                    frame_count=jnp.asarray(1, dtype=jnp.int32),
+                return (
+                    reset_volume(vol),
+                    tuple(jnp.zeros_like(v) for v in state.model_vmaps),
+                    tuple(jnp.zeros_like(n) for n in state.model_nmaps),
                 )
-                pose_out = pose_matrix(identity_pose())
-            else:
-                new_state = state
-                pose_out = pose_matrix(state.pose)
-            out = StepOutput(
-                pose_matrix=pose_out,
-                tracking_ok=jnp.asarray(False),
-                icp_inliers=icp.num_inliers,
-            )
-            return new_state, out
+            return vol, state.model_vmaps, state.model_nmaps
 
-        return jax.lax.cond(icp.ok, on_ok, on_fail, None)
+        vol_n, mv, mn = jax.lax.cond(good, fuse, fail, state.vol)
 
-    is_first = state.frame_count == 1
-    return jax.lax.cond(is_first, bootstrap, track_and_fuse, state)
+    if auto_reset:
+        fail_pose = identity_pose()
+        fail_fc = jnp.asarray(1, jnp.int32)
+    else:
+        fail_pose = state.pose
+        fail_fc = state.frame_count
+    pose_n = jax.tree.map(
+        lambda a, b: jnp.where(good, a, b), new_pose, fail_pose
+    )
+    fc_n = jnp.where(
+        good,
+        jnp.where(is_first, 2, state.frame_count + 1),
+        fail_fc,
+    )
+    new_state = KinFuState(
+        vol=vol_n,
+        pose=pose_n,
+        model_vmaps=mv,
+        model_nmaps=mn,
+        frame_count=fc_n,
+    )
+    out = StepOutput(
+        pose_matrix=pose_matrix(pose_n),
+        tracking_ok=good,
+        icp_inliers=jnp.where(is_first, 0, icp.num_inliers),
+    )
+    return new_state, out
 
 
 def make_step_fn(

@@ -77,88 +77,78 @@ def streaming_step(
         normal_disc_threshold=params.normal_disc_threshold,
     )
 
-    def bootstrap(state: StreamingState):
-        ks = state.kinfu
-        vol_pose = _vol_pose_dyn(params, state.origin_vox)
-        vol2cam = compose(inverse(ks.pose), vol_pose)
-        vol = integrate(ks.vol, dmaps[0], color_rgb, vol2cam, intr, params)
-        new_ks = KinFuState(
-            vol=vol,
-            pose=ks.pose,
-            model_vmaps=tuple(vmaps),
-            model_nmaps=tuple(nmaps),
-            frame_count=jnp.asarray(2, jnp.int32),
+    # Single-conditional structure (see pipeline.kinfu.kinfu_step's
+    # structure note): the volume passes through exactly ONE lax.cond.
+    is_first = ks.frame_count == 1
+    icp = rigid_icp(vmaps, nmaps, ks.model_vmaps, ks.model_nmaps, intr, params)
+    good = (icp.ok & ~is_first) | is_first
+
+    tracked_pose = compose(ks.pose, icp.pose)
+    new_pose = jax.tree.map(
+        lambda a, b: jnp.where(is_first, a, b), ks.pose, tracked_pose
+    )
+
+    # recenter the grid around the *view anchor* — a point half the volume
+    # depth in front of the camera. Centering the camera itself would
+    # scroll the observed scene out of the grid (a forward-looking sensor
+    # needs the volume ahead of it; the reference statically places the
+    # camera 0.5 m behind the volume face, kinectfusion.cpp:184).
+    vol_pose0 = _vol_pose_dyn(params, state.origin_vox)
+    anchor_cam = jnp.asarray(
+        [0.0, 0.0, 0.5 * params.volume_range[2]], jnp.float32
+    )
+    anchor_w = new_pose.R @ anchor_cam + new_pose.t
+    inv_vp = inverse(vol_pose0)
+    anchor_vol = inv_vp.R @ anchor_w + inv_vp.t
+    shift = camera_centering_shift(
+        anchor_vol, params.volume_dims, params.voxel_size, margin_frac
+    )
+    shift = jnp.where(is_first, jnp.zeros((3,), jnp.int32), shift)
+    origin_vox = state.origin_vox + shift
+    vol_pose = _vol_pose_dyn(params, origin_vox)
+
+    def fuse(vol):
+        vol = shift_volume(vol, shift)
+        vol2cam = compose(inverse(new_pose), vol_pose)
+        vol = integrate(vol, dmaps[0], color_rgb, vol2cam, intr, params)
+        cam2vol = compose(inverse(vol_pose), new_pose)
+        rv, rn = raycast(vol, cam2vol, intr, params)
+        mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
+        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
+        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
+        return vol, mv, mn
+
+    def fail(vol):
+        return (
+            reset_volume(vol),
+            tuple(jnp.zeros_like(v) for v in ks.model_vmaps),
+            tuple(jnp.zeros_like(n) for n in ks.model_nmaps),
         )
-        out = StepOutput(
-            pose_matrix=pose_matrix(ks.pose),
-            tracking_ok=jnp.asarray(True),
-            icp_inliers=jnp.asarray(0, jnp.int32),
-        )
-        return StreamingState(new_ks, state.origin_vox), out
 
-    def track_and_fuse(state: StreamingState):
-        ks = state.kinfu
-        icp = rigid_icp(vmaps, nmaps, ks.model_vmaps, ks.model_nmaps, intr, params)
+    vol_n, mv, mn = jax.lax.cond(good, fuse, fail, ks.vol)
 
-        def on_ok(_):
-            new_pose = compose(ks.pose, icp.pose)
-            # recenter the grid around the *view anchor* — a point half the
-            # volume depth in front of the camera. Centering the camera
-            # itself would scroll the observed scene out of the grid (a
-            # forward-looking sensor needs the volume ahead of it; the
-            # reference statically places the camera 0.5 m behind the
-            # volume face, kinectfusion.cpp:184).
-            vol_pose = _vol_pose_dyn(params, state.origin_vox)
-            anchor_cam = jnp.asarray(
-                [0.0, 0.0, 0.5 * params.volume_range[2]], jnp.float32
-            )
-            anchor_w = new_pose.R @ anchor_cam + new_pose.t
-            inv_vp = inverse(vol_pose)
-            anchor_vol = inv_vp.R @ anchor_w + inv_vp.t
-            shift = camera_centering_shift(
-                anchor_vol, params.volume_dims, params.voxel_size, margin_frac
-            )
-            vol = shift_volume(ks.vol, shift)
-            origin_vox = state.origin_vox + shift
-            vol_pose = _vol_pose_dyn(params, origin_vox)
-
-            vol2cam = compose(inverse(new_pose), vol_pose)
-            vol = integrate(vol, dmaps[0], color_rgb, vol2cam, intr, params)
-            cam2vol = compose(inverse(vol_pose), new_pose)
-            rv, rn = raycast(vol, cam2vol, intr, params)
-            mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
-            new_ks = KinFuState(
-                vol=vol,
-                pose=new_pose,
-                model_vmaps=mv,
-                model_nmaps=mn,
-                frame_count=ks.frame_count + 1,
-            )
-            out = StepOutput(
-                pose_matrix=pose_matrix(new_pose),
-                tracking_ok=jnp.asarray(True),
-                icp_inliers=icp.num_inliers,
-            )
-            return StreamingState(new_ks, origin_vox), out
-
-        def on_fail(_):
-            new_ks = KinFuState(
-                vol=reset_volume(ks.vol),
-                pose=identity_pose(),
-                model_vmaps=jax.tree.map(jnp.zeros_like, ks.model_vmaps),
-                model_nmaps=jax.tree.map(jnp.zeros_like, ks.model_nmaps),
-                frame_count=jnp.asarray(1, jnp.int32),
-            )
-            out = StepOutput(
-                pose_matrix=pose_matrix(identity_pose()),
-                tracking_ok=jnp.asarray(False),
-                icp_inliers=icp.num_inliers,
-            )
-            return StreamingState(new_ks, jnp.zeros((3,), jnp.int32)), out
-
-        return jax.lax.cond(icp.ok, on_ok, on_fail, None)
-
-    return jax.lax.cond(ks.frame_count == 1, bootstrap, track_and_fuse, state)
+    pose_n = jax.tree.map(
+        lambda a, b: jnp.where(good, a, b), new_pose, identity_pose()
+    )
+    fc_n = jnp.where(
+        good,
+        jnp.where(is_first, 2, ks.frame_count + 1),
+        jnp.asarray(1, jnp.int32),
+    )
+    origin_n = jnp.where(good, origin_vox, jnp.zeros((3,), jnp.int32))
+    new_ks = KinFuState(
+        vol=vol_n,
+        pose=pose_n,
+        model_vmaps=mv,
+        model_nmaps=mn,
+        frame_count=fc_n,
+    )
+    out = StepOutput(
+        pose_matrix=pose_matrix(pose_n),
+        tracking_ok=good,
+        icp_inliers=jnp.where(is_first, 0, icp.num_inliers),
+    )
+    return StreamingState(new_ks, origin_n), out
 
 
 def make_streaming_step_fn(

@@ -70,3 +70,69 @@ def test_untileable_volume_falls_back_and_runs(dims_zyx):
     assert int(jnp.sum(vol2.weight)) > 0
     vmap, nmap = raycast(vol2, pose, intr, params)
     assert vmap.shape == (24, 32, 3)
+
+
+def test_fused_update_matches_separate_kernels():
+    """ops/fused_step.fused_update (single-switch integrate+raycast+fail)
+    must equal integrate_warped followed by raycast_warped, and its failure
+    branch must reset the volume."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kinfu_tpu.data.synthetic import default_test_scene
+    from kinfu_tpu.geometry.se3 import compose, inverse, pose_from_matrix
+    from kinfu_tpu.ops.fused_step import fused_update
+    from kinfu_tpu.ops.pallas_integrate import integrate_warped
+    from kinfu_tpu.ops.pallas_raycast import raycast_warped
+    from kinfu_tpu.volume.tsdf import create_volume
+
+    params = KinFuParams(
+        pyramid_height=1,
+        icp_iters=(3,),
+        volume_dims=(128,) * 3,
+        volume_range=(3.0,) * 3,
+    )
+    intr = Intrinsics(width=64, height=48, fx=53.0, fy=53.0, cx=31.5, cy=23.5)
+    scene = default_test_scene()
+    d, c = scene.render_frame(np.eye(4, dtype=np.float32), intr)
+    depth_m = jnp.asarray(d) * params.depth_scale
+    color = jnp.asarray(c)
+    vol_pose = pose_from_matrix(jnp.asarray(params.volume_pose))
+    cam = identity_pose()
+    vol2cam = compose(inverse(cam), vol_pose)
+    cam2vol = compose(inverse(vol_pose), cam)
+
+    vol0 = create_volume(params.volume_dims)
+
+    ref_vol = integrate_warped(
+        vol0, depth_m, color, vol2cam, intr, params, interpret=True
+    )
+    ref_vm, ref_nm = raycast_warped(
+        ref_vol, cam2vol, intr, params, interpret=True
+    )
+
+    f_vol, f_vm, f_nm = fused_update(
+        vol0, depth_m, color, vol2cam, cam2vol, intr, params,
+        good=jnp.asarray(True), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(f_vol.tsdf), np.asarray(ref_vol.tsdf))
+    np.testing.assert_array_equal(
+        np.asarray(f_vol.weight), np.asarray(ref_vol.weight)
+    )
+    np.testing.assert_allclose(np.asarray(f_vm), np.asarray(ref_vm), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_nm), np.asarray(ref_nm), atol=1e-5)
+
+    # failure branch: reset
+    r_vol, r_vm, r_nm = fused_update(
+        ref_vol, depth_m, color, vol2cam, cam2vol, intr, params,
+        good=jnp.asarray(False), interpret=True,
+    )
+    assert not np.any(np.asarray(r_vol.tsdf))
+    assert not np.any(np.asarray(r_vm))
+
+    # failure branch with keep: volume untouched
+    k_vol, _, _ = fused_update(
+        ref_vol, depth_m, color, vol2cam, cam2vol, intr, params,
+        good=jnp.asarray(False), interpret=True, reset_on_fail=False,
+    )
+    np.testing.assert_array_equal(np.asarray(k_vol.tsdf), np.asarray(ref_vol.tsdf))
