@@ -86,6 +86,11 @@ class KinFuParams:
     #: raycast; size must be a multiple of 128 and tan(cone) = centre/focal
     #: must exceed 1 (the +-45 deg ownership cone)
     raycast_face: Tuple[int, float] = (640, 261.0)
+    #: fused integrate+raycast+reset switch (ops/fused_step.py): "auto" =
+    #: on TPU whenever the warped kernels are eligible, "on" = force on any
+    #: backend (interpret-mode Pallas on CPU — for parity tests of the
+    #: exact TPU composition), "off" = never (separate conditionals).
+    fused_mode: str = "auto"
 
     # ---- extraction ----
     #: fixed-size output buffer for extracted surface points

@@ -41,9 +41,13 @@ from kinfu_tpu.volume.tsdf import TSDFVolume
 
 def fused_supported(vol_shape, params: KinFuParams) -> bool:
     """True when the fused switch path can serve this configuration."""
+    if params.fused_mode == "off":
+        return False
     modes_ok = params.integrate_mode in ("auto", "warped") and (
         params.raycast_mode in ("auto", "warped")
     )
+    if params.fused_mode == "on":  # force (interpret-mode Pallas off-TPU)
+        return modes_ok and warp_dims_ok(vol_shape)
     return (
         modes_ok
         and jax.default_backend() == "tpu"
@@ -161,17 +165,22 @@ def fused_update(
     )
     tsdf_n, weight_n, col_n, vertex, normal, valid = outs
 
+    # XLA:TPU miscompile workaround (found r3, 2026-08-20): writing the
+    # masking as `jnp.where(valid[..., None], einsum(...), 0.0)` on these
+    # switch outputs makes an UNRELATED live buffer in the same program
+    # (the measurement normal map) read back as all-zeros on hardware —
+    # the where's zero-constant broadcast appears to share a buffer with
+    # another zero-filled value. Masking by multiplication instead avoids
+    # materialising a zero constant and compiles correctly (bisect record:
+    # tools/PERF_NOTES.md "fused-step masking miscompile"). Both operands
+    # are finite (t is clamped before use), so multiply == where here.
     Rinv = R.T
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
-    mask = valid[..., None]
+    valid_f = valid.astype(jnp.float32)[..., None]
     vol_n = TSDFVolume(
         tsdf=tsdf_n,
         weight=weight_n,
         color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
     )
-    return (
-        vol_n,
-        jnp.where(mask, vcam, 0.0),
-        jnp.where(mask, ncam, 0.0),
-    )
+    return vol_n, vcam * valid_f, ncam * valid_f

@@ -357,6 +357,7 @@ def _sweep_face(
     params: KinFuParams,
     spec: FaceSpec,
     interpret: bool,
+    alias: bool = True,
 ):
     """One separable fusion sweep over the voxels owned by `frame`'s face.
 
@@ -440,7 +441,7 @@ def _sweep_face(
             jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int16),
             jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int32),
         ],
-        input_output_aliases={3: 0, 4: 1, 5: 2},
+        input_output_aliases={3: 0, 4: 1, 5: 2} if alias else {},
         interpret=interpret,
     )(prm, face.range_mm, face.color, t_p, w_p, c_p)
 
