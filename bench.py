@@ -15,26 +15,41 @@ remote TPU setups where a single dispatch round-trip (~1 s) would drown the
 fetch of the scan outputs (some experimental PJRT backends return from
 block_until_ready without blocking).
 
-Usage: python bench.py [--dim 512] [--frames 20] [--warmup 2]
+Both scan lengths start from a FRESH init_state and replay the same orbit
+from frame 0, so every measured frame is a genuinely tracking frame (the
+r3 harness replayed frames onto a continuing state, which silently relied
+on auto-reset at the replay discontinuity). On tracking failure the
+per-frame ok/inlier trace is printed before exiting non-zero, and the
+dispatch-mode knobs are exposed as flags for hardware bisection
+(tools/hw_bisect.py is the finer-grained companion).
+
+Usage: python bench.py [--dim 512] [--frames 20] [--fused auto|on|off]
+                       [--integrate auto|warped|gather]
+                       [--raycast auto|warped|hier|step]
+                       [--icp auto|warped|gather]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def _run_scan(scan_fn, state, depths, colors):
-    """Run the scanned pipeline and force completion via host fetch."""
+def _run_scan(scan_fn, init_fn, depths, colors):
+    """Run the scanned pipeline from fresh state; force completion via
+    host fetch. Returns (poses, oks, inliers, seconds)."""
+    state = init_fn()
     t0 = time.perf_counter()
-    state, (poses, oks) = scan_fn(state, depths, colors)
+    state, (poses, oks, inl) = scan_fn(state, depths, colors)
     poses = np.asarray(poses)  # host fetch == hard sync
     oks = np.asarray(oks)
+    inl = np.asarray(inl)
     dt = time.perf_counter() - t0
-    return state, poses, oks, dt
+    return poses, oks, inl, dt
 
 
 def main():
@@ -45,6 +60,14 @@ def main():
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument(
+        "--integrate", default="auto", choices=["auto", "warped", "gather"]
+    )
+    ap.add_argument(
+        "--raycast", default="auto", choices=["auto", "warped", "hier", "step"]
+    )
+    ap.add_argument("--icp", default="auto", choices=["auto", "warped", "gather"])
     args = ap.parse_args()
 
     import jax
@@ -65,6 +88,10 @@ def main():
         pyramid_height=args.levels,
         icp_iters=(4, 5, 10)[: args.levels],
         volume_dims=(args.dim, args.dim, args.dim),
+        fused_mode=args.fused,
+        integrate_mode=args.integrate,
+        raycast_mode=args.raycast,
+        icp_mode=args.icp,
     )
     intr = Intrinsics(
         width=args.width,
@@ -77,7 +104,7 @@ def main():
 
     n_small, n_big = args.warmup, args.warmup + args.frames
     scene = default_test_scene()
-    traj = make_orbit_trajectory(n_small + n_big, angle_step_deg=0.3)
+    traj = make_orbit_trajectory(n_big, angle_step_deg=0.3)
     rendered = [scene.render_frame(T, intr) for T in traj]
     depths = jnp.asarray(np.stack([d for d, _ in rendered]))
     colors = jnp.asarray(np.stack([c for _, c in rendered]))
@@ -86,29 +113,32 @@ def main():
         def body(st, frame):
             d, c = frame
             st, out = kinfu_step(st, d, c, params=params, intr=intr)
-            return st, (out.pose_matrix, out.tracking_ok)
+            return st, (out.pose_matrix, out.tracking_ok, out.icp_inliers)
 
         return jax.lax.scan(body, state, (ds, cs))
 
     scan = jax.jit(scan_pipeline, donate_argnums=(0,))
+    init = lambda: init_state(params, intr)  # noqa: E731
 
-    state = init_state(params, intr)
-    # small scan: compile (both lengths) + fixed-overhead sample
     sm_d, sm_c = depths[:n_small], colors[:n_small]
-    bg_d, bg_c = depths[n_small:], colors[n_small:]
-    state, _, _, _ = _run_scan(scan, state, sm_d, sm_c)  # compile small
-    st2 = init_state(params, intr)
-    st2, _, _, _ = _run_scan(scan, st2, bg_d, bg_c)  # compile big
-    del st2
+    # compile both scan lengths
+    _run_scan(scan, init, sm_d, sm_c)
+    _run_scan(scan, init, depths, colors)
 
-    # timed: alternate small/big scans, difference out the fixed overhead
+    # timed: both lengths from fresh state, difference out fixed overhead
     t_small, t_big = [], []
     for _ in range(3):
-        state, _, _, dt = _run_scan(scan, state, sm_d, sm_c)
+        _, _, _, dt = _run_scan(scan, init, sm_d, sm_c)
         t_small.append(dt)
-        state, poses, oks, dt = _run_scan(scan, state, bg_d, bg_c)
+        poses, oks, inl, dt = _run_scan(scan, init, depths, colors)
         t_big.append(dt)
-    assert oks.all(), "tracking failed during benchmark"
+    if not oks[1:].all():  # frame 0 bootstraps; all others must track
+        for i in range(n_big):
+            print(
+                f"frame {i:3d}  ok={bool(oks[i])}  inliers={int(inl[i])}",
+                file=sys.stderr,
+            )
+        raise AssertionError("tracking failed during benchmark")
 
     ms = (min(t_big) - min(t_small)) / (n_big - n_small) * 1e3
     baseline_ms = 18.0

@@ -97,7 +97,18 @@ class KinFuParams:
     #: (reference MAXPOINTNUM 2e6, device_types.hpp:12)
     max_extracted_points: int = 2_000_000
 
+    _MODE_CHOICES = {
+        "icp_mode": ("auto", "warped", "gather"),
+        "integrate_mode": ("auto", "warped", "gather"),
+        "raycast_mode": ("auto", "warped", "hier", "step"),
+        "fused_mode": ("auto", "on", "off"),
+    }
+
     def __post_init__(self):
+        for field, choices in self._MODE_CHOICES.items():
+            val = getattr(self, field)
+            if val not in choices:
+                raise ValueError(f"{field}={val!r}; must be one of {choices}")
         if self.trunc_dist is None:
             object.__setattr__(
                 self,

@@ -76,7 +76,14 @@ def normal_map(vmap: jnp.ndarray, disc_threshold: float = 0.1) -> jnp.ndarray:
     valid = valid & (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
 
     n = n / jnp.maximum(norm, 1e-30)
-    return jnp.where(valid[..., None], n, 0.0)
+    # Mask by MULTIPLICATION, not `jnp.where(valid, n, 0.0)`: with the
+    # fused one-switch step (ops/fused_step.py) in the same XLA:TPU
+    # program, the where's broadcast-zero constant made this whole map
+    # read back all-zeros on hardware (r3/r4 miscompile — bisect record:
+    # tools/PERF_NOTES.md "fused-step masking miscompile"). n is finite
+    # everywhere (cross products of finite differences, norm clamped), so
+    # the two forms are numerically identical.
+    return n * valid[..., None].astype(n.dtype)
 
 
 def resize_points_normals(

@@ -66,20 +66,37 @@ def fused_update(
     good: jnp.ndarray,
     interpret: bool | None = None,
     reset_on_fail: bool = True,
+    pre=None,
 ):
     """One-switch volume update.
 
     Returns (vol', vmap [H,W,3], nmap [H,W,3]) — camera-frame raycast
     prediction of the post-fusion surface, zeros on the failure branch
     (`good` False: volume reset when reset_on_fail, else kept for the
-    relocalizer)."""
+    relocalizer).
+
+    `pre`, if given, maps the (tsdf, weight, color_i32) tuple to a
+    transformed tuple INSIDE each success branch — so a volume-touching
+    prologue (the streaming grid shift, pipeline/streaming.py) rides the
+    same single conditional instead of adding its own staging layer. The
+    failure branch skips it (reset discards content; keep-for-relocalizer
+    keeps the untransformed volume, matching a pose that did not
+    advance)."""
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # interpret-mode Pallas anywhere the Mosaic TPU kernels can't
+        # compile natively (cpu, gpu) — fused_mode="on" forces this path
+        # for cross-backend parity tests
+        interpret = jax.default_backend() != "tpu"
     size, focal = params.raycast_face
     rspec = RaySpec(size=int(size), focal=float(focal))
     h, w = intr.height, intr.width
     R, tt = cam2vol
-    org = tt
+    # A singular ICP solve can leave NaNs in the failed pose; the multiply
+    # masking below (0 * NaN = NaN) would leak them into the documented
+    # "zeros on the failure branch" contract, so sanitize here (3x3 + 3
+    # scalars — free next to the volume work).
+    R = jnp.where(jnp.isfinite(R), R, jnp.eye(3, dtype=R.dtype))
+    org = jnp.where(jnp.isfinite(tt), tt, 0.0)
 
     frames = list(face_frames())
     col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
@@ -123,7 +140,10 @@ def fused_update(
 
     def single(fr):
         def branch(a):
-            t, wgt, c = sweep((a[0], a[1], a[2]), fr)
+            arrs = (a[0], a[1], a[2])
+            if pre is not None:
+                arrs = pre(arrs)
+            t, wgt, c = sweep(arrs, fr)
             acc = ray_face(acc0, t, fr)
             return t, wgt, c, *acc
 
@@ -131,6 +151,8 @@ def fused_update(
 
     def chain(a):
         arrs = (a[0], a[1], a[2])
+        if pre is not None:
+            arrs = pre(arrs)
         for fr in frames:
             arrs = jax.lax.cond(
                 flags[fr.name],
@@ -165,15 +187,16 @@ def fused_update(
     )
     tsdf_n, weight_n, col_n, vertex, normal, valid = outs
 
-    # XLA:TPU miscompile workaround (found r3, 2026-08-20): writing the
-    # masking as `jnp.where(valid[..., None], einsum(...), 0.0)` on these
-    # switch outputs makes an UNRELATED live buffer in the same program
-    # (the measurement normal map) read back as all-zeros on hardware —
-    # the where's zero-constant broadcast appears to share a buffer with
-    # another zero-filled value. Masking by multiplication instead avoids
-    # materialising a zero constant and compiles correctly (bisect record:
-    # tools/PERF_NOTES.md "fused-step masking miscompile"). Both operands
-    # are finite (t is clamped before use), so multiply == where here.
+    # XLA:TPU miscompile workaround (r3, 2026-08-20): writing the masking
+    # as `jnp.where(valid[..., None], einsum(...), 0.0)` on these switch
+    # outputs made an UNRELATED live buffer in the same program (the
+    # measurement normal map) read back as all-zeros on hardware — the
+    # where's zero-constant broadcast appeared to share a buffer with
+    # another zero-filled value. Masking by multiplication avoids
+    # materialising that zero constant. NOTE: this is a workaround
+    # hypothesis — the r3 hardware bench still failed after it landed
+    # (BENCH_r03.json rc=1); r4 bisect status is tracked in
+    # tools/PERF_NOTES.md "fused-step masking miscompile".
     Rinv = R.T
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)

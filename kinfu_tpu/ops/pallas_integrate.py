@@ -39,6 +39,7 @@ sampling and the near-camera slope limit are items 18-19.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -357,7 +358,7 @@ def _sweep_face(
     params: KinFuParams,
     spec: FaceSpec,
     interpret: bool,
-    alias: bool = True,
+    alias: bool | None = None,
 ):
     """One separable fusion sweep over the voxels owned by `frame`'s face.
 
@@ -365,6 +366,12 @@ def _sweep_face(
     face's primed frame (sweep axis leading, flipped for negative faces),
     swept, and permuted back. Voxels the face does not own are untouched.
     """
+    if alias is None:
+        # in-place VMEM streaming by default; KINFU_DISABLE_ALIAS=1 is a
+        # hardware-bisect lever for the miscompile class where aliasing a
+        # pallas_call's IO inside a lax.switch branch corrupts buffers
+        # (tools/PERF_NOTES.md "fused-step masking miscompile")
+        alias = os.environ.get("KINFU_DISABLE_ALIAS") != "1"
     dims_xyz = (tsdf.shape[2], tsdf.shape[1], tsdf.shape[0])  # (X, Y, Z)
     vs = params.voxel_size
 

@@ -161,6 +161,97 @@ def sharded_raycast(
     return vout, nout
 
 
+#: halo rows for the warped (plane-sweep) raycast: one 8-row block each
+#: side covers the <=~4.3-row sample drift between consecutive planes plus
+#: rounding, and keeps window starts 8-aligned
+HALO8 = 8
+
+
+def _ray_face_local(
+    a,
+    frame,
+    padded: jnp.ndarray,
+    cam2vol: Pose,
+    intr: Intrinsics,
+    params: KinFuParams,
+    spec,
+    interpret: bool,
+    Zg: int,
+    Zl: int,
+    z0,
+    axis_name: str,
+):
+    """One cube-face plane-sweep raycast pass over a halo-padded Z-shard,
+    min-composited over the mesh; accumulates into `a` = (vertex, normal,
+    valid) in VOLUME coordinates. Runs the SAME Pallas sweep kernel as the
+    single-chip warped raycast (ops/pallas_raycast.py) — the kernel takes
+    the shard's global plane/row offsets as traced scalars. Shading /
+    resample run replicated on every device. Call inside shard_map."""
+    from kinfu_tpu.ops.pallas_raycast import (
+        _face_fields,
+        _prime_geometry,
+        _resample_face,
+        _sweep_face_rays,
+    )
+
+    R, tt = cam2vol
+    org = tt
+    Y, X = padded.shape[1], padded.shape[2]
+
+    D, off, vs_p = _prime_geometry(frame, params)
+    org_p = D @ org + off
+    prim = jnp.transpose(padded, frame.axes)
+    if frame.flip:
+        prim = jnp.flip(prim, axis=0)
+    dims_g = tuple((Zg, Y, X)[ax] for ax in frame.axes)  # primed GLOBAL dims
+
+    # which primed axis carries the volume-Z shard?
+    z_axis_pos = frame.axes.index(0)
+    if z_axis_pos == 0:  # plane-sharded (+-z faces)
+        if frame.flip:
+            plane0 = Zg - (z0 + Zl + HALO8)
+        else:
+            plane0 = z0 - HALO8
+        row0 = jnp.asarray(0, jnp.int32)
+    else:  # row-sharded (+-y / +-x faces); flip acts on the plane axis
+        assert z_axis_pos == 1, frame.name
+        plane0 = jnp.asarray(0, jnp.int32)
+        row0 = z0 - HALO8
+
+    hit, back = _sweep_face_rays(
+        prim, org_p, vs_p, spec, interpret,
+        dims_global=dims_g, plane0=plane0, row0=row0,
+    )
+    hit = jax.lax.pmin(hit, axis_name)
+    back = jax.lax.pmin(back, axis_name)
+
+    t_f, n_f, _ = _face_fields(hit, back, org_p, spec)
+    A = D @ R
+    t_cam, n_cam_p = _resample_face(t_f, n_f, A, intr, spec, interpret)
+
+    rays = intr.pixel_rays()
+    d_p = jnp.einsum("ij,hwj->hwi", A, rays)
+    adx, ady, dz = jnp.abs(d_p[..., 0]), jnp.abs(d_p[..., 1]), d_p[..., 2]
+    own_x = (adx < dz) if frame.gt_x else (adx <= dz)
+    own_y = (ady < dz) if frame.gt_y else (ady <= dz)
+    own = (dz > 0) & own_x & own_y
+
+    ok = t_cam < _INF
+    tsafe = jnp.where(ok, t_cam, 0.0)
+    p_p = org_p[None, None, :] + d_p / jnp.maximum(dz, 1e-9)[
+        ..., None
+    ] * tsafe[..., None]
+    p_v = jnp.einsum("ji,hwj->hwi", D, p_p - off[None, None, :])
+    n_v = jnp.einsum("ji,hwj->hwi", D, n_cam_p)
+    sel = (own & ok)[..., None]
+    nz = jnp.any(jnp.abs(n_v) > 0, axis=-1)
+    return (
+        jnp.where(sel, p_v, a[0]),
+        jnp.where(sel, n_v, a[1]),
+        jnp.where(own & ok & nz, True, a[2]),
+    )
+
+
 def sharded_raycast_warped(
     tsdf_local: jnp.ndarray,
     cam2vol: Pose,
@@ -171,22 +262,12 @@ def sharded_raycast_warped(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cube-face plane-sweep raycast over a Z-sharded volume.
 
-    Runs the SAME Pallas sweep kernel as the single-chip warped raycast
-    (ops/pallas_raycast.py) on each shard's halo-padded slab — the kernel
-    takes the shard's global plane/row offsets as traced scalars — then
-    min-composites the per-face (hit_t, back_t) fields across the mesh
-    with a pmin (events duplicated in the 8-row halos land on the same
-    global grid, so the composite is exact). Shading/resample run
-    replicated on every device. Call inside shard_map."""
+    Per-face sweeps run on each shard's halo-padded slab and min-composite
+    (hit_t, back_t) across the mesh with a pmin (events duplicated in the
+    8-row halos land on the same global grid, so the composite is exact) —
+    see _ray_face_local. Call inside shard_map."""
     from kinfu_tpu.ops.facewarp import face_frames
-    from kinfu_tpu.ops.pallas_raycast import (
-        RaySpec,
-        _face_fields,
-        _faces_needed,
-        _prime_geometry,
-        _resample_face,
-        _sweep_face_rays,
-    )
+    from kinfu_tpu.ops.pallas_raycast import RaySpec, _faces_needed
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -201,9 +282,6 @@ def sharded_raycast_warped(
     idx = jax.lax.axis_index(axis_name)
     Zg = Zl * n
     z0 = idx * Zl
-    HALO8 = 8  # one 8-row block each side: covers the <=~4.3-row sample
-    # drift between consecutive planes plus rounding, and keeps window
-    # starts 8-aligned
     padded = halo_exchange_z(tsdf_local, axis_name, halo=HALO8)
 
     acc = (
@@ -213,59 +291,9 @@ def sharded_raycast_warped(
     )
 
     def run_face(a, frame):
-        D, off, vs_p = _prime_geometry(frame, params)
-        org_p = D @ org + off
-        prim = jnp.transpose(padded, frame.axes)
-        if frame.flip:
-            prim = jnp.flip(prim, axis=0)
-        dims_g = tuple(
-            (Zg, Y, X)[ax] for ax in frame.axes
-        )  # primed GLOBAL dims
-
-        # which primed axis carries the volume-Z shard?
-        z_axis_pos = frame.axes.index(0)
-        if z_axis_pos == 0:  # plane-sharded (+-z faces)
-            if frame.flip:
-                plane0 = Zg - (z0 + Zl + HALO8)
-            else:
-                plane0 = z0 - HALO8
-            row0 = jnp.asarray(0, jnp.int32)
-        else:  # row-sharded (+-y / +-x faces); flip acts on the plane axis
-            assert z_axis_pos == 1, frame.name
-            plane0 = jnp.asarray(0, jnp.int32)
-            row0 = z0 - HALO8
-
-        hit, back = _sweep_face_rays(
-            prim, org_p, vs_p, spec, interpret,
-            dims_global=dims_g, plane0=plane0, row0=row0,
-        )
-        hit = jax.lax.pmin(hit, axis_name)
-        back = jax.lax.pmin(back, axis_name)
-
-        t_f, n_f, _ = _face_fields(hit, back, org_p, spec)
-        A = D @ R
-        t_cam, n_cam_p = _resample_face(t_f, n_f, A, intr, spec, interpret)
-
-        rays = intr.pixel_rays()
-        d_p = jnp.einsum("ij,hwj->hwi", A, rays)
-        adx, ady, dz = jnp.abs(d_p[..., 0]), jnp.abs(d_p[..., 1]), d_p[..., 2]
-        own_x = (adx < dz) if frame.gt_x else (adx <= dz)
-        own_y = (ady < dz) if frame.gt_y else (ady <= dz)
-        own = (dz > 0) & own_x & own_y
-
-        ok = t_cam < _INF
-        tsafe = jnp.where(ok, t_cam, 0.0)
-        p_p = org_p[None, None, :] + d_p / jnp.maximum(dz, 1e-9)[
-            ..., None
-        ] * tsafe[..., None]
-        p_v = jnp.einsum("ji,hwj->hwi", D, p_p - off[None, None, :])
-        n_v = jnp.einsum("ji,hwj->hwi", D, n_cam_p)
-        sel = (own & ok)[..., None]
-        nz = jnp.any(jnp.abs(n_v) > 0, axis=-1)
-        return (
-            jnp.where(sel, p_v, a[0]),
-            jnp.where(sel, n_v, a[1]),
-            jnp.where(own & ok & nz, True, a[2]),
+        return _ray_face_local(
+            a, frame, padded, cam2vol, intr, params, spec, interpret,
+            Zg, Zl, z0, axis_name,
         )
 
     flags = _faces_needed(cam2vol, intr)
@@ -299,6 +327,178 @@ def sharded_raycast_warped(
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
     mask = valid[..., None]
     return jnp.where(mask, vcam, 0.0), jnp.where(mask, ncam, 0.0)
+
+
+def fused_supported_local(
+    local_shape: Tuple[int, int, int], n_devices: int, params: KinFuParams
+) -> bool:
+    """True when the sharded fused one-switch update can serve this
+    configuration (mirrors ops.fused_step.fused_supported: both warped
+    kernels eligible on the GLOBAL dims, plus the shard-local tiling)."""
+    from kinfu_tpu.ops.facewarp import warp_dims_ok
+
+    if params.fused_mode == "off":
+        return False
+    Zl, Y, X = local_shape
+    modes_ok = params.integrate_mode in ("auto", "warped") and (
+        params.raycast_mode in ("auto", "warped")
+    )
+    ok = (
+        modes_ok
+        and warp_dims_ok((Zl * n_devices, Y, X))
+        and warp_dims_ok(local_shape)
+    )
+    if params.fused_mode == "on":  # force (interpret-mode Pallas off-TPU)
+        return ok
+    return ok and jax.default_backend() == "tpu"
+
+
+def fused_update_local(
+    vol: TSDFVolume,
+    depth_m: jnp.ndarray,
+    color_rgb: jnp.ndarray,
+    vol2cam: Pose,
+    cam2vol: Pose,
+    intr: Intrinsics,
+    params: KinFuParams,
+    good: jnp.ndarray,
+    z_offset,
+    axis_name: str = VOLUME_AXIS,
+    interpret: bool | None = None,
+) -> Tuple[TSDFVolume, jnp.ndarray, jnp.ndarray]:
+    """Sharded one-switch volume update (per-device; call inside shard_map).
+
+    The Z-shard's integrate sweep, halo exchange, raycast sweep and the
+    tracking-failure reset all ride ONE lax.switch, exactly like the
+    single-chip ops.fused_step.fused_update — XLA stages every conditional
+    layer's operands/results through fresh buffers, so each extra layer
+    wrapping the volume shard costs full-shard copies. The fusion and
+    raycast face sets are identical (both depend only on the replicated
+    rotation — the per-shard z-offset shifts only the translation), so
+    every device takes the SAME branch and the collectives inside
+    (ppermute halos, pmin composite) stay mesh-consistent.
+
+    Returns (vol', vmap, nmap) — replicated camera-frame raycast
+    prediction, zeros + reset volume on the failure branch
+    (kinectfusion.cpp:97-102 semantics)."""
+    from kinfu_tpu.ops.facewarp import default_face_spec, face_frames
+    from kinfu_tpu.ops.pallas_integrate import _sweep_face, faces_needed
+    from kinfu_tpu.ops.pallas_raycast import RaySpec
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    size, focal = params.raycast_face
+    rspec = RaySpec(size=int(size), focal=float(focal))
+    h, w = intr.height, intr.width
+    R, tt = cam2vol
+    # sanitize a possibly-NaN failed pose (see ops.fused_step.fused_update)
+    R = jnp.where(jnp.isfinite(R), R, jnp.eye(3, dtype=R.dtype))
+    org = jnp.where(jnp.isfinite(tt), tt, 0.0)
+
+    Zl, Y, X = vol.tsdf.shape
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    Zg = Zl * n
+    z0 = idx * Zl
+
+    # fold the shard origin into the integrate pose so the local sweep is
+    # exactly the global one (volume/integrate.py z_offset rationale)
+    zoff_m = jnp.asarray(z_offset, jnp.float32) * params.voxel_size[2]
+    Ri, ti = vol2cam
+    vol2cam_local = Pose(Ri, ti + Ri[:, 2] * zoff_m)
+
+    frames = list(face_frames())
+    col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
+
+    def sweep(arrays, fr):
+        return _sweep_face(
+            *arrays,
+            fr,
+            depth_m=depth_m,
+            color_rgb=color_rgb,
+            vol2cam=vol2cam_local,
+            intr=intr,
+            params=params,
+            spec=default_face_spec(),
+            interpret=interpret,
+        )
+
+    acc0 = (
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w, 3), jnp.float32),
+        jnp.zeros((h, w), jnp.bool_),
+    )
+
+    def ray_face(acc, padded, fr):
+        return _ray_face_local(
+            acc, fr, padded, cam2vol, intr, params, rspec, interpret,
+            Zg, Zl, z0, axis_name,
+        )
+
+    flags = faces_needed(vol2cam, intr)  # rotation-only: same on every shard
+    flag_vec = jnp.stack([flags[fr.name] for fr in frames])
+    nset = jnp.sum(flag_vec.astype(jnp.int32))
+    code = jnp.where(nset == 1, jnp.argmax(flag_vec), len(frames))
+    code = jnp.where(good, code, len(frames) + 1)
+
+    def single(fr):
+        def branch(a):
+            t, wgt, c = sweep((a[0], a[1], a[2]), fr)
+            padded = halo_exchange_z(t, axis_name, halo=HALO8)
+            acc = ray_face(acc0, padded, fr)
+            return t, wgt, c, *acc
+
+        return branch
+
+    def chain(a):
+        arrs = (a[0], a[1], a[2])
+        for fr in frames:
+            arrs = jax.lax.cond(
+                flags[fr.name],
+                lambda x, f=fr: sweep(x, f),
+                lambda x: x,
+                arrs,
+            )
+        padded = halo_exchange_z(arrs[0], axis_name, halo=HALO8)
+        acc = acc0
+        for fr in frames:
+            acc = jax.lax.cond(
+                flags[fr.name],
+                lambda x, f=fr: ray_face(x, padded, f),
+                lambda x: x,
+                acc,
+            )
+        return (*arrs, *acc)
+
+    def fail(a):
+        # kinectfusion.cpp:97-102 reset; collective-free is consistent
+        # because every device takes this same branch (code is replicated)
+        return (
+            jnp.zeros_like(a[0]),
+            jnp.zeros_like(a[1]),
+            jnp.zeros_like(a[2]),
+            *acc0,
+        )
+
+    outs = jax.lax.switch(
+        code,
+        [single(fr) for fr in frames] + [chain, fail],
+        (vol.tsdf, vol.weight, col_i32),
+    )
+    tsdf_n, weight_n, col_n, vertex, normal, valid = outs
+
+    # multiply-mask epilogue (NOT jnp.where) — see the XLA:TPU miscompile
+    # note in ops.fused_step.fused_update
+    Rinv = R.T
+    vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
+    ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
+    valid_f = valid.astype(jnp.float32)[..., None]
+    vol_n = TSDFVolume(
+        tsdf=tsdf_n,
+        weight=weight_n,
+        color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
+    )
+    return vol_n, vcam * valid_f, ncam * valid_f
 
 
 def _row_shard(img: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -368,43 +568,69 @@ def kinfu_step_local(
         lambda a, b: jnp.where(is_first, a, b), state.pose, tracked_pose
     )
 
-    def fuse(vol):
-        vol2cam = compose(inverse(new_pose), vol_pose)
-        vol = integrate(
-            vol, dmaps[0], color_rgb, vol2cam, intr, params, z_offset=z_offset
+    vol2cam = compose(inverse(new_pose), vol_pose)
+    cam2vol = compose(inverse(vol_pose), new_pose)
+    if fused_supported_local(
+        state.vol.tsdf.shape, jax.lax.axis_size(axis_name), params
+    ):
+        # integrate + halo exchange + raycast + failure reset in ONE
+        # lax.switch — the volume shard crosses a single conditional
+        # boundary (see fused_update_local)
+        vol_n, rv, rn = fused_update_local(
+            state.vol,
+            dmaps[0],
+            color_rgb,
+            vol2cam,
+            cam2vol,
+            intr,
+            params,
+            good,
+            z_offset,
+            axis_name,
         )
-        cam2vol = compose(inverse(vol_pose), new_pose)
-        from kinfu_tpu.ops.facewarp import warp_dims_ok
-
-        Zl_ = vol.tsdf.shape[0]
-        Zg_ = Zl_ * jax.lax.axis_size(axis_name)
-        warp_ok = warp_dims_ok((Zg_,) + vol.tsdf.shape[1:]) and Zl_ % 8 == 0
-        mode = params.raycast_mode
-        if mode == "auto":
-            mode = (
-                "warped"
-                if jax.default_backend() == "tpu" and warp_ok
-                else "step"
-            )
-        if mode == "warped" and warp_ok:
-            rv, rn = sharded_raycast_warped(
-                vol.tsdf, cam2vol, intr, params, axis_name
-            )
-        else:
-            rv, rn = sharded_raycast(vol.tsdf, cam2vol, intr, params, axis_name)
         mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
         mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
         mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
-        return vol, mv, mn
+    else:
 
-    def fail(vol):
-        return (
-            reset_volume(vol),
-            tuple(jnp.zeros_like(v) for v in state.model_vmaps),
-            tuple(jnp.zeros_like(n) for n in state.model_nmaps),
-        )
+        def fuse(vol):
+            vol = integrate(
+                vol, dmaps[0], color_rgb, vol2cam, intr, params,
+                z_offset=z_offset,
+            )
+            from kinfu_tpu.ops.facewarp import warp_dims_ok
 
-    vol_n, mv, mn = jax.lax.cond(good, fuse, fail, state.vol)
+            Zl_ = vol.tsdf.shape[0]
+            Zg_ = Zl_ * jax.lax.axis_size(axis_name)
+            warp_ok = warp_dims_ok((Zg_,) + vol.tsdf.shape[1:]) and Zl_ % 8 == 0
+            mode = params.raycast_mode
+            if mode == "auto":
+                mode = (
+                    "warped"
+                    if jax.default_backend() == "tpu" and warp_ok
+                    else "step"
+                )
+            if mode == "warped" and warp_ok:
+                rv, rn = sharded_raycast_warped(
+                    vol.tsdf, cam2vol, intr, params, axis_name
+                )
+            else:
+                rv, rn = sharded_raycast(
+                    vol.tsdf, cam2vol, intr, params, axis_name
+                )
+            mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
+            mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
+            mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
+            return vol, mv, mn
+
+        def fail(vol):
+            return (
+                reset_volume(vol),
+                tuple(jnp.zeros_like(v) for v in state.model_vmaps),
+                tuple(jnp.zeros_like(n) for n in state.model_nmaps),
+            )
+
+        vol_n, mv, mn = jax.lax.cond(good, fuse, fail, state.vol)
 
     pose_n = jax.tree.map(
         lambda a, b: jnp.where(good, a, b), new_pose, identity_pose()

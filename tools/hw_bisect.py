@@ -1,0 +1,175 @@
+"""Hardware bisect harness for the per-frame pipeline step.
+
+Runs the bench.py workload (640x480 / 512^3 / 3 levels, 0.3 deg orbit) on
+whatever backend is live, printing per-frame `tracking_ok` / `icp_inliers`
+instead of a single end-of-run assert, with every dispatch knob exposed as
+a flag so a TPU-only failure can be localized in component space:
+
+    python tools/hw_bisect.py --frames 10                    # production modes
+    python tools/hw_bisect.py --fused off                    # no fused switch
+    python tools/hw_bisect.py --fused off --raycast step     # jnp marcher
+    python tools/hw_bisect.py --fused off --integrate gather --raycast step \
+        --icp gather                                         # all-jnp
+
+Exit code 0 iff every frame after the first tracks. Written for the r3->r4
+BENCH_r03 regression ("tracking failed during benchmark", rc=1): the CPU
+interpret-mode suite is structurally blind to compiled-TPU-only miscompiles,
+so this is the minimal program that exercises the production composition on
+the chip with observability.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--angle-step", type=float, default=0.3)
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument(
+        "--integrate", default="auto", choices=["auto", "warped", "gather"]
+    )
+    ap.add_argument(
+        "--raycast", default="auto", choices=["auto", "warped", "hier", "step"]
+    )
+    ap.add_argument("--icp", default="auto", choices=["auto", "warped", "gather"])
+    ap.add_argument(
+        "--no-donate",
+        action="store_true",
+        help="disable state donation (bisect lever: donation + in-kernel "
+        "aliasing + switch is a suspected miscompile trigger)",
+    )
+    ap.add_argument(
+        "--scan",
+        action="store_true",
+        help="run frames inside one lax.scan (bench.py structure) instead of "
+        "per-frame jitted steps",
+    )
+    ap.add_argument(
+        "--replay",
+        type=int,
+        default=0,
+        help="after the main pass, re-run the first N frames on the "
+        "continuing state (reproduces bench.py's alternating structure)",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/kinfu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from kinfu_tpu.config import KinFuParams
+    from kinfu_tpu.data.synthetic import default_test_scene, make_orbit_trajectory
+    from kinfu_tpu.geometry.intrinsics import Intrinsics
+    from kinfu_tpu.pipeline.kinfu import init_state, kinfu_step, make_step_fn
+
+    params = KinFuParams(
+        pyramid_height=args.levels,
+        icp_iters=(4, 5, 10)[: args.levels],
+        volume_dims=(args.dim, args.dim, args.dim),
+        fused_mode=args.fused,
+        integrate_mode=args.integrate,
+        raycast_mode=args.raycast,
+        icp_mode=args.icp,
+    )
+    intr = Intrinsics(
+        width=args.width,
+        height=args.height,
+        fx=525.0 * args.width / 640,
+        fy=525.0 * args.width / 640,
+        cx=args.width / 2 - 0.5,
+        cy=args.height / 2 - 0.5,
+    )
+
+    print(
+        f"backend={jax.default_backend()} dim={args.dim} "
+        f"fused={args.fused} integrate={args.integrate} "
+        f"raycast={args.raycast} icp={args.icp} scan={args.scan}",
+        flush=True,
+    )
+
+    scene = default_test_scene()
+    traj = make_orbit_trajectory(args.frames, angle_step_deg=args.angle_step)
+    rendered = [scene.render_frame(T, intr) for T in traj]
+    depths = np.stack([d for d, _ in rendered])
+    colors = np.stack([c for _, c in rendered])
+
+    state = init_state(params, intr)
+    all_ok = True
+
+    if args.scan:
+        jdepths = jnp.asarray(depths)
+        jcolors = jnp.asarray(colors)
+
+        def scan_pipeline(st, ds, cs):
+            def body(s, frame):
+                d, c = frame
+                s, out = kinfu_step(s, d, c, params=params, intr=intr)
+                return s, (out.tracking_ok, out.icp_inliers)
+
+            return jax.lax.scan(body, st, (ds, cs))
+
+        scan = jax.jit(
+            scan_pipeline, donate_argnums=() if args.no_donate else (0,)
+        )
+        t0 = time.perf_counter()
+        state, (oks, inl) = scan(state, jdepths, jcolors)
+        oks, inl = np.asarray(oks), np.asarray(inl)
+        print(f"scan pass: {time.perf_counter() - t0:.1f}s", flush=True)
+        for i in range(args.frames):
+            print(f"frame {i:3d}  ok={bool(oks[i])}  inliers={int(inl[i])}")
+        all_ok &= bool(oks[1:].all())
+        if args.replay:
+            n = args.replay
+            state, (oks, inl) = scan(state, jdepths[:n], jcolors[:n])
+            oks, inl = np.asarray(oks), np.asarray(inl)
+            for i in range(n):
+                print(f"replay {i:3d}  ok={bool(oks[i])}  inliers={int(inl[i])}")
+            all_ok &= bool(oks.all())
+    else:
+        step = make_step_fn(params, intr, donate=not args.no_donate)
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            state, out = step(state, jnp.asarray(depths[i]), jnp.asarray(colors[i]))
+            ok = bool(out.tracking_ok)
+            inl = int(out.icp_inliers)
+            dt = time.perf_counter() - t0
+            print(f"frame {i:3d}  ok={ok}  inliers={inl}  ({dt:.2f}s)", flush=True)
+            if i > 0:
+                all_ok &= ok
+        if args.replay:
+            for i in range(args.replay):
+                state, out = step(
+                    state, jnp.asarray(depths[i]), jnp.asarray(colors[i])
+                )
+                print(
+                    f"replay {i:3d}  ok={bool(out.tracking_ok)}  "
+                    f"inliers={int(out.icp_inliers)}",
+                    flush=True,
+                )
+                all_ok &= bool(out.tracking_ok)
+
+    print("RESULT:", "OK" if all_ok else "TRACKING-FAIL")
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,176 @@
+"""1024^3 scaling evidence: per-shard warped-kernel cost at north-star
+shard shapes (BASELINE.md: >= 0.7 scaling efficiency for a sharded 1024^3
+volume at 4 hosts).
+
+Multi-chip hardware is not reachable from this host, so the methodology is:
+measure the PER-SHARD Pallas kernel time on one chip at the exact slab
+shape each mesh size would own, plus the fixed (shard-count-independent)
+costs, and project efficiency as
+
+    eff(n) = T1 / (n * Tn),   Tn = compute(slab_n) + fixed + collectives
+
+where collectives are bounded analytically from payload bytes / ICI
+bandwidth (halo: 2x8 rows of [1024,1024] int16 each way; composite: pmin
+over two [face,face] f32 fields; both << 1 ms on v5e ICI) — the same
+bound-from-payload method the scaling-book recipe uses for its roofline.
+
+    python tools/scale_probe.py --xy 1024 --shards 1,8,32 [--iters 4]
+
+Writes one JSON line per shard count; PERF_NOTES.md records the round's
+results.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--xy", type=int, default=1024)
+    ap.add_argument("--z", type=int, default=1024, help="global Z dim")
+    ap.add_argument("--shards", type=str, default="8,32")
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/kinfu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, "/root/repo")
+    from kinfu_tpu.config import KinFuParams
+    from kinfu_tpu.data.synthetic import default_test_scene
+    from kinfu_tpu.geometry.intrinsics import Intrinsics
+    from kinfu_tpu.geometry.se3 import Pose, compose, identity_pose, inverse, pose_from_matrix
+    from kinfu_tpu.ops.facewarp import face_frames
+    from kinfu_tpu.ops.pallas_integrate import _sweep_face
+    from kinfu_tpu.ops.pallas_raycast import RaySpec, _sweep_face_rays, _prime_geometry
+    from kinfu_tpu.ops.facewarp import default_face_spec
+
+    XY = args.xy
+    Zg = args.z
+    params = KinFuParams(
+        volume_dims=(XY, XY, Zg),
+        volume_range=(3.0 * XY / 512, 3.0 * XY / 512, 3.0 * Zg / 512),
+    )
+    intr = Intrinsics(width=640, height=480, fx=525.0, fy=525.0, cx=319.5, cy=239.5)
+    scene = default_test_scene()
+    depth_raw, color = scene.render_frame(np.eye(4, dtype=np.float32), intr)
+    depth_m = jnp.asarray(depth_raw) * params.depth_scale
+    color = jnp.asarray(color)
+    vol_pose = pose_from_matrix(jnp.asarray(params.volume_pose))
+    vol2cam = compose(inverse(identity_pose()), vol_pose)
+    cam2vol = compose(inverse(vol_pose), identity_pose())
+    ispec = default_face_spec()
+    size, focal = params.raycast_face
+    rspec = RaySpec(size=int(size), focal=float(focal))
+    pz = face_frames()[0]
+    assert pz.name == "+z"
+
+    shard_counts = [int(s) for s in args.shards.split(",")]
+    for n in shard_counts:
+        Zl = Zg // n
+        assert Zl % 8 == 0, (Zg, n)
+        # middle shard of the volume: fold the z offset into the pose like
+        # volume/integrate.py does for the sharded sweep
+        z_off = (n // 2) * Zl
+        zoff_m = float(z_off) * params.voxel_size[2]
+        Ri, ti = vol2cam
+        v2c_local = Pose(Ri, ti + Ri[:, 2] * zoff_m)
+
+        tsdf = jnp.zeros((Zl, XY, XY), jnp.int16)
+        weight = jnp.zeros((Zl, XY, XY), jnp.int16)
+        col = jnp.zeros((Zl, XY, XY), jnp.int32)
+        # raycast sweeps the halo-padded slab (halo = 8 rows each side)
+        pad = 8 if n > 1 else 0
+        tsdf_p = jnp.zeros((Zl + 2 * pad, XY, XY), jnp.int16)
+        D, off, vs_p = _prime_geometry(pz, params)
+        org_p = D @ cam2vol.t + off
+
+        def run(n_int, n_ray, tsdf, weight, col, tsdf_p):
+            def loop(k, body, c0):
+                return jax.lax.fori_loop(0, k, lambda _, c: body(c), c0)
+
+            t1, w1, c1 = loop(
+                n_int,
+                lambda a: _sweep_face(
+                    *a, pz, depth_m=depth_m, color_rgb=color,
+                    vol2cam=v2c_local, intr=intr, params=params,
+                    spec=ispec, interpret=False,
+                ),
+                (tsdf, weight, col),
+            )
+
+            def ray_body(carry):
+                hit, back = _sweep_face_rays(
+                    tsdf_p, org_p + carry * 1e-30, vs_p, rspec, False,
+                    dims_global=(Zg, XY, XY),
+                    plane0=jnp.asarray(z_off - pad, jnp.int32),
+                    row0=jnp.asarray(0, jnp.int32),
+                )
+                return carry + hit[0, 0] * 1e-30 + back[0, 0] * 1e-30
+
+            r = loop(n_ray, ray_body, jnp.float32(0))
+            return (
+                t1[0, 0, 0].astype(jnp.float32)
+                + w1[0, 0, 0].astype(jnp.float32)
+                + c1[0, 0, 0].astype(jnp.float32)
+                + r
+            )
+
+        jrun = jax.jit(run, donate_argnums=(2, 3, 4))
+
+        def t(ni, nr):
+            tsdf_, weight_, col_ = (
+                jnp.zeros((Zl, XY, XY), jnp.int16),
+                jnp.zeros((Zl, XY, XY), jnp.int16),
+                jnp.zeros((Zl, XY, XY), jnp.int32),
+            )
+            t0 = time.perf_counter()
+            np.asarray(jrun(ni, nr, tsdf_, weight_, col_, tsdf_p))
+            return time.perf_counter() - t0
+
+        print(f"n={n} Zl={Zl}: compiling...", flush=True)
+        t(1, 1)
+        K = args.iters
+        base = min(t(1, 1) for _ in range(3))
+        ti_ = min(t(1 + K, 1) for _ in range(2))
+        tr_ = min(t(1, 1 + K) for _ in range(2))
+        int_ms = (ti_ - base) / K * 1e3
+        ray_ms = (tr_ - base) / K * 1e3
+        # analytic collective bound: halo 2 dirs x 8 rows x XY*XY int16,
+        # pmin composite 2 x face^2 f32 x log2(n) hops; v5e ICI ~45 GB/s
+        halo_ms = 0.0 if n == 1 else (2 * 8 * XY * XY * 2) / 45e9 * 1e3
+        pmin_ms = 0.0 if n == 1 else (
+            2 * rspec.size * rspec.size * 4 * np.log2(n)
+        ) / 45e9 * 1e3
+        print(
+            json.dumps(
+                {
+                    "shards": n,
+                    "slab": [Zl, XY, XY],
+                    "integrate_sweep_ms": round(int_ms, 2),
+                    "raycast_sweep_ms": round(ray_ms, 2),
+                    "halo_bound_ms": round(halo_ms, 3),
+                    "pmin_bound_ms": round(pmin_ms, 3),
+                    "per_shard_total_ms": round(
+                        int_ms + ray_ms + halo_ms + pmin_ms, 2
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
