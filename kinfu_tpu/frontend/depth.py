@@ -64,6 +64,10 @@ def bilateral_filter(
 
 
 def scale_and_truncate(depth: jnp.ndarray, scale: float, max_dist: float) -> jnp.ndarray:
-    """mm -> m and zero out beyond the far clip (image_process.cu:8-27)."""
+    """mm -> m and zero out beyond the far clip (image_process.cu:8-27).
+
+    Multiply-mask, not `jnp.where(d > max, 0.0, d)` — the select-with-zero
+    form miscompiles on XLA:TPU in programs containing the fused switch
+    (tools/PERF_NOTES.md "fused-step masking miscompile")."""
     d = depth * scale
-    return jnp.where(d > max_dist, 0.0, d)
+    return d * (d <= max_dist)

@@ -110,15 +110,22 @@ def resize_points_normals(
     # a vertex is valid where its normal is (holes have both zero)
     vvalid = vblk[..., 2:3] != 0
 
+    # All masking here is by MULTIPLICATION, not jnp.where(pred, x, 0.0):
+    # `select(p, x, broadcast(0))` on the normal-map producer chain
+    # miscompiles on XLA:TPU when the fused one-switch step is in the same
+    # program — the masked buffer reads back all-zeros (bisect record:
+    # tools/PERF_NOTES.md "fused-step masking miscompile"). Operands are
+    # finite (sums of finite blocks, clamped denominators), so the forms
+    # are numerically identical.
     def masked_mean(blk, valid):
         cnt = valid.sum(axis=(1, 3))
-        s = jnp.where(valid, blk, 0.0).sum(axis=(1, 3))
-        return jnp.where(cnt > 0, s / jnp.maximum(cnt, 1), 0.0)
+        s = (blk * valid).sum(axis=(1, 3))
+        return s / jnp.maximum(cnt, 1) * (cnt > 0)
 
     v = masked_mean(vblk, vvalid)
     n = masked_mean(nblk, nvalid)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = jnp.where(norm > 1e-20, n / jnp.maximum(norm, 1e-30), 0.0)
+    n = n / jnp.maximum(norm, 1e-30) * (norm > 1e-20)
     return v, n
 
 

@@ -67,10 +67,11 @@ def fused_update(
     interpret: bool | None = None,
     reset_on_fail: bool = True,
     pre=None,
+    aux=None,
 ):
     """One-switch volume update.
 
-    Returns (vol', vmap [H,W,3], nmap [H,W,3]) — camera-frame raycast
+    Returns (vol', vmap [H,W,3], nmap [H,W,3], aux') — camera-frame raycast
     prediction of the post-fusion surface, zeros on the failure branch
     (`good` False: volume reset when reset_on_fail, else kept for the
     relocalizer).
@@ -81,7 +82,18 @@ def fused_update(
     same single conditional instead of adding its own staging layer. The
     failure branch skips it (reset discards content; keep-for-relocalizer
     keeps the untransformed volume, matching a pose that did not
-    advance)."""
+    advance).
+
+    `aux` (any pytree of arrays) is threaded THROUGH the switch untouched
+    and returned as aux'. Callers MUST route every array they still need
+    after the switch through here instead of closing over it: XLA:TPU's
+    buffer assignment clobbers buffers that are merely live ACROSS the
+    switch (the r3/r4 miscompile — a measurement normal map kept for the
+    bootstrap select read back all-zeros on hardware; bisect record in
+    tools/PERF_NOTES.md "fused-step masking miscompile"). Making the
+    arrays conditional operands/results gives them their own staged
+    buffers, which survives. Cost: one copy of aux per frame (~10 MB for
+    the measurement pyramids — microseconds of HBM)."""
     if interpret is None:
         # interpret-mode Pallas anywhere the Mosaic TPU kernels can't
         # compile natively (cpu, gpu) — fused_mode="on" forces this path
@@ -118,12 +130,14 @@ def fused_update(
         p_v, n_v, ok, own = _face_pass(
             tsdf, fr, cam2vol, intr, params, rspec, interpret
         )
-        sel = (own & ok)[..., None]
+        # multiply-mask accumulation (operands finite) — select-with-zero
+        # miscompiles next to the switch, see the epilogue note below
+        m = (own & ok).astype(jnp.float32)[..., None]
         nz = jnp.any(jnp.abs(n_v) > 0, axis=-1)
         return (
-            jnp.where(sel, p_v, acc[0]),
-            jnp.where(sel, n_v, acc[1]),
-            jnp.where(own & ok & nz, True, acc[2]),
+            p_v * m + acc[0] * (1.0 - m),
+            n_v * m + acc[1] * (1.0 - m),
+            (own & ok & nz) | acc[2],
         )
 
     acc0 = (
@@ -145,7 +159,7 @@ def fused_update(
                 arrs = pre(arrs)
             t, wgt, c = sweep(arrs, fr)
             acc = ray_face(acc0, t, fr)
-            return t, wgt, c, *acc
+            return t, wgt, c, *acc, a[3]
 
         return branch
 
@@ -168,7 +182,7 @@ def fused_update(
                 lambda x: x,
                 acc,
             )
-        return (*arrs, *acc)
+        return (*arrs, *acc, a[3])
 
     def fail(a):
         if reset_on_fail:  # kinectfusion.cpp:97-102 reset
@@ -177,26 +191,21 @@ def fused_update(
                 jnp.zeros_like(a[1]),
                 jnp.zeros_like(a[2]),
                 *acc0,
+                a[3],
             )
-        return (*a, *acc0)  # keep the map (relocalizer owns recovery)
+        return (*a[:3], *acc0, a[3])  # keep map (relocalizer owns recovery)
 
     outs = jax.lax.switch(
         code,
         [single(fr) for fr in frames] + [chain, fail],
-        (vol.tsdf, vol.weight, col_i32),
+        (vol.tsdf, vol.weight, col_i32, aux),
     )
-    tsdf_n, weight_n, col_n, vertex, normal, valid = outs
+    tsdf_n, weight_n, col_n, vertex, normal, valid, aux_out = outs
 
-    # XLA:TPU miscompile workaround (r3, 2026-08-20): writing the masking
-    # as `jnp.where(valid[..., None], einsum(...), 0.0)` on these switch
-    # outputs made an UNRELATED live buffer in the same program (the
-    # measurement normal map) read back as all-zeros on hardware — the
-    # where's zero-constant broadcast appeared to share a buffer with
-    # another zero-filled value. Masking by multiplication avoids
-    # materialising that zero constant. NOTE: this is a workaround
-    # hypothesis — the r3 hardware bench still failed after it landed
-    # (BENCH_r03.json rc=1); r4 bisect status is tracked in
-    # tools/PERF_NOTES.md "fused-step masking miscompile".
+    # Multiply-masking (NOT `jnp.where(valid, x, 0.0)`) and the `aux`
+    # threading above are both XLA:TPU miscompile workarounds — see the
+    # docstring and tools/PERF_NOTES.md "fused-step masking miscompile"
+    # for the r3/r4 hardware bisect record.
     Rinv = R.T
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
@@ -206,4 +215,4 @@ def fused_update(
         weight=weight_n,
         color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
     )
-    return vol_n, vcam * valid_f, ncam * valid_f
+    return vol_n, vcam * valid_f, ncam * valid_f, aux_out

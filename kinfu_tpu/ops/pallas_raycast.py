@@ -472,15 +472,22 @@ def _face_fields(hit, back, origin_p, spec: RaySpec):
     # scale; differentiating raw t amplifies that into tens of degrees of
     # normal noise. Smooth t over the valid 3x3 neighbourhood first (the
     # vertex map itself stays unsmoothed — only normals use t_s).
+    # Masking on this chain is by MULTIPLICATION with finite operands, not
+    # `jnp.where(pred, x, 0.0)` — the select form miscompiles on XLA:TPU
+    # next to the fused switch (tools/PERF_NOTES.md "fused-step masking
+    # miscompile"). hit is clamped finite before the multiply so 0 * INF
+    # never makes a NaN.
     okf32 = ok.astype(jnp.float32)
-    tz = jnp.where(ok, t, 0.0)
+    tz = jnp.minimum(hit, jnp.float32(1e30)) * okf32
     wsum = jnp.zeros_like(okf32)
     tsum = jnp.zeros_like(tz)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             wsum = wsum + sh(okf32, di, dj)
             tsum = tsum + sh(tz, di, dj)
-    t_s = jnp.where(ok, tsum / jnp.maximum(wsum, 1.0), jnp.float32(_INF))
+    # finite everywhere (zero where invalid): only used for the normal
+    # differences below, which are masked to the all-valid neighbourhood
+    t_s = tsum / jnp.maximum(wsum, 1.0) * okf32
 
     vx = origin_p[0] + dxr * t_s
     vy = origin_p[1] + dyr * t_s
@@ -506,9 +513,8 @@ def _face_fields(hit, back, origin_p, spec: RaySpec):
                     jnp.broadcast_to(dyr, (F, F)),
                     jnp.ones((F, F), jnp.float32)], axis=-1)
     flip = jnp.sum(n * d3, axis=-1) > 0
-    n = jnp.where(flip[..., None], -n, n)
-    n = jnp.where(ok_n[..., None], n, 0.0)
-    t = jnp.where(ok, t, jnp.float32(_INF))
+    sign = 1.0 - 2.0 * flip.astype(jnp.float32)
+    n = n * sign[..., None] * ok_n[..., None].astype(jnp.float32)
     return t, n, ok_n
 
 
@@ -642,7 +648,9 @@ def _face_pass(
 
     # vertex on OUR pixel ray at the resampled parameter: p' = o' + d'/dz * t
     ok = t_cam < _INF
-    tsafe = jnp.where(ok, t_cam, 0.0)
+    # clamp-then-multiply, not `jnp.where(ok, t_cam, 0.0)` — see the
+    # select-with-zero miscompile note in _face_fields
+    tsafe = jnp.minimum(t_cam, jnp.float32(1e30)) * ok.astype(jnp.float32)
     p_p = org_p[None, None, :] + d_p / jnp.maximum(dz, 1e-9)[..., None] * tsafe[
         ..., None
     ]
@@ -685,12 +693,14 @@ def raycast_warped(
         p_v, n_v, ok, own = _face_pass(
             vol.tsdf, fr, cam2vol, intr, params, spec, interpret
         )
-        sel = (own & ok)[..., None]
+        # multiply-mask accumulation (finite operands) — select-with-zero
+        # miscompiles next to the dispatch switch, see _face_fields
+        m = (own & ok).astype(jnp.float32)[..., None]
         nz = jnp.any(jnp.abs(n_v) > 0, axis=-1)
         return (
-            jnp.where(sel, p_v, a[0]),
-            jnp.where(sel, n_v, a[1]),
-            jnp.where(own & ok & nz, True, a[2]),
+            p_v * m + a[0] * (1.0 - m),
+            n_v * m + a[1] * (1.0 - m),
+            (own & ok & nz) | a[2],
         )
 
     if faces == "auto":
@@ -729,8 +739,8 @@ def raycast_warped(
     org = tt
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
-    mask = valid[..., None]
-    return jnp.where(mask, vcam, 0.0), jnp.where(mask, ncam, 0.0)
+    mask = valid.astype(jnp.float32)[..., None]
+    return vcam * mask, ncam * mask
 
 
 def _faces_needed(cam2vol: Pose, intr: Intrinsics, margin: float = _FACE_MARGIN):

@@ -155,9 +155,9 @@ def sharded_raycast(
     Rinv = R.T
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, nrm)
-    mask = (valid & i_shade)[..., None]
-    vout = jax.lax.psum(jnp.where(mask, vcam, 0.0), axis_name)
-    nout = jax.lax.psum(jnp.where(mask, ncam, 0.0), axis_name)
+    mask = (valid & i_shade).astype(jnp.float32)[..., None]
+    vout = jax.lax.psum(vcam * mask, axis_name)
+    nout = jax.lax.psum(ncam * mask, axis_name)
     return vout, nout
 
 
@@ -237,18 +237,20 @@ def _ray_face_local(
     own = (dz > 0) & own_x & own_y
 
     ok = t_cam < _INF
-    tsafe = jnp.where(ok, t_cam, 0.0)
+    # clamp-then-multiply masking (finite operands) — select-with-zero
+    # miscompiles next to the dispatch switch (pallas_raycast._face_fields)
+    tsafe = jnp.minimum(t_cam, jnp.float32(1e30)) * ok.astype(jnp.float32)
     p_p = org_p[None, None, :] + d_p / jnp.maximum(dz, 1e-9)[
         ..., None
     ] * tsafe[..., None]
     p_v = jnp.einsum("ji,hwj->hwi", D, p_p - off[None, None, :])
     n_v = jnp.einsum("ji,hwj->hwi", D, n_cam_p)
-    sel = (own & ok)[..., None]
+    m = (own & ok).astype(jnp.float32)[..., None]
     nz = jnp.any(jnp.abs(n_v) > 0, axis=-1)
     return (
-        jnp.where(sel, p_v, a[0]),
-        jnp.where(sel, n_v, a[1]),
-        jnp.where(own & ok & nz, True, a[2]),
+        p_v * m + a[0] * (1.0 - m),
+        n_v * m + a[1] * (1.0 - m),
+        (own & ok & nz) | a[2],
     )
 
 
@@ -325,8 +327,8 @@ def sharded_raycast_warped(
     Rinv = R.T
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
-    mask = valid[..., None]
-    return jnp.where(mask, vcam, 0.0), jnp.where(mask, ncam, 0.0)
+    mask = valid.astype(jnp.float32)[..., None]
+    return vcam * mask, ncam * mask
 
 
 def fused_supported_local(
@@ -365,7 +367,8 @@ def fused_update_local(
     z_offset,
     axis_name: str = VOLUME_AXIS,
     interpret: bool | None = None,
-) -> Tuple[TSDFVolume, jnp.ndarray, jnp.ndarray]:
+    aux=None,
+):
     """Sharded one-switch volume update (per-device; call inside shard_map).
 
     The Z-shard's integrate sweep, halo exchange, raycast sweep and the
@@ -378,9 +381,12 @@ def fused_update_local(
     every device takes the SAME branch and the collectives inside
     (ppermute halos, pmin composite) stay mesh-consistent.
 
-    Returns (vol', vmap, nmap) — replicated camera-frame raycast
+    Returns (vol', vmap, nmap, aux') — replicated camera-frame raycast
     prediction, zeros + reset volume on the failure branch
-    (kinectfusion.cpp:97-102 semantics)."""
+    (kinectfusion.cpp:97-102 semantics). `aux` is threaded through the
+    switch untouched: route every array needed after the switch here, not
+    through a closure (XLA:TPU clobbers buffers merely live across the
+    switch — ops.fused_step.fused_update docstring)."""
     from kinfu_tpu.ops.facewarp import default_face_spec, face_frames
     from kinfu_tpu.ops.pallas_integrate import _sweep_face, faces_needed
     from kinfu_tpu.ops.pallas_raycast import RaySpec
@@ -446,7 +452,7 @@ def fused_update_local(
             t, wgt, c = sweep((a[0], a[1], a[2]), fr)
             padded = halo_exchange_z(t, axis_name, halo=HALO8)
             acc = ray_face(acc0, padded, fr)
-            return t, wgt, c, *acc
+            return t, wgt, c, *acc, a[3]
 
         return branch
 
@@ -468,7 +474,7 @@ def fused_update_local(
                 lambda x: x,
                 acc,
             )
-        return (*arrs, *acc)
+        return (*arrs, *acc, a[3])
 
     def fail(a):
         # kinectfusion.cpp:97-102 reset; collective-free is consistent
@@ -478,14 +484,15 @@ def fused_update_local(
             jnp.zeros_like(a[1]),
             jnp.zeros_like(a[2]),
             *acc0,
+            a[3],
         )
 
     outs = jax.lax.switch(
         code,
         [single(fr) for fr in frames] + [chain, fail],
-        (vol.tsdf, vol.weight, col_i32),
+        (vol.tsdf, vol.weight, col_i32, aux),
     )
-    tsdf_n, weight_n, col_n, vertex, normal, valid = outs
+    tsdf_n, weight_n, col_n, vertex, normal, valid, aux_out = outs
 
     # multiply-mask epilogue (NOT jnp.where) — see the XLA:TPU miscompile
     # note in ops.fused_step.fused_update
@@ -498,7 +505,7 @@ def fused_update_local(
         weight=weight_n,
         color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
     )
-    return vol_n, vcam * valid_f, ncam * valid_f
+    return vol_n, vcam * valid_f, ncam * valid_f, aux_out
 
 
 def _row_shard(img: jnp.ndarray, axis_name: str) -> jnp.ndarray:
@@ -575,8 +582,9 @@ def kinfu_step_local(
     ):
         # integrate + halo exchange + raycast + failure reset in ONE
         # lax.switch — the volume shard crosses a single conditional
-        # boundary (see fused_update_local)
-        vol_n, rv, rn = fused_update_local(
+        # boundary (see fused_update_local); post-switch consumers thread
+        # through `aux`
+        vol_n, rv, rn, aux = fused_update_local(
             state.vol,
             dmaps[0],
             color_rgb,
@@ -587,10 +595,12 @@ def kinfu_step_local(
             good,
             z_offset,
             axis_name,
+            aux=(tuple(vmaps), tuple(nmaps)),
         )
+        vmaps_t, nmaps_t = aux
         mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
-        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
-        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
+        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps_t, mv))
+        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps_t, mn))
     else:
 
         def fuse(vol):

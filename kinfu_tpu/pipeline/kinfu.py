@@ -104,6 +104,15 @@ def kinfu_step(
         max_dist=params.dfilter_dist,
         normal_disc_threshold=params.normal_disc_threshold,
     )
+    # Materialize the measurement pyramid as real buffers before anything
+    # downstream (Pallas ICP, the fused switch) consumes it: without the
+    # barrier XLA:TPU mis-schedules/fuses the normal-map computation in
+    # programs containing the fused switch and the maps read back as
+    # zeros on hardware (tools/PERF_NOTES.md "fused-step masking
+    # miscompile"). Zero runtime cost — it only pins program order.
+    dmaps, vmaps, nmaps = jax.lax.optimization_barrier(
+        (tuple(dmaps), tuple(vmaps), tuple(nmaps))
+    )
 
     is_first = state.frame_count == 1
     icp = rigid_icp(
@@ -124,8 +133,14 @@ def kinfu_step(
     cam2vol = compose(inverse(vol_pose), new_pose)
     if fused_supported(state.vol.tsdf.shape, params):
         # integrate + raycast + failure handling in ONE lax.switch — the
-        # volume crosses a single conditional boundary (see ops/fused_step)
-        vol_n, rv, rn = fused_update(
+        # volume crosses a single conditional boundary (see ops/fused_step).
+        # Every array consumed after the switch is threaded THROUGH it as
+        # `aux` — buffers merely live across the switch get clobbered by an
+        # XLA:TPU buffer-assignment bug (fused_update docstring).
+        aux = (vmaps, nmaps)
+        if not auto_reset:
+            aux = aux + (state.model_vmaps, state.model_nmaps)
+        vol_n, rv, rn, aux = fused_update(
             state.vol,
             dmaps[0],
             color_rgb,
@@ -135,17 +150,19 @@ def kinfu_step(
             params,
             good,
             reset_on_fail=auto_reset,
+            aux=aux,
         )
+        vmaps_t, nmaps_t = aux[0], aux[1]
         mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
-        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
-        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
+        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps_t, mv))
+        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps_t, mn))
         if not auto_reset:
             # failure keeps the old prediction maps for the relocalizer
             mv = tuple(
-                jnp.where(good, a, b) for a, b in zip(mv, state.model_vmaps)
+                jnp.where(good, a, b) for a, b in zip(mv, aux[2])
             )
             mn = tuple(
-                jnp.where(good, a, b) for a, b in zip(mn, state.model_nmaps)
+                jnp.where(good, a, b) for a, b in zip(mn, aux[3])
             )
     else:
 

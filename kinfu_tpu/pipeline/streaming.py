@@ -125,7 +125,8 @@ def streaming_step(
                 out.append(a)
             return tuple(out)
 
-        vol_n, rv, rn = fused_update(
+        # post-switch consumers thread through `aux` (see fused_update)
+        vol_n, rv, rn, aux = fused_update(
             ks.vol,
             dmaps[0],
             color_rgb,
@@ -135,10 +136,12 @@ def streaming_step(
             params,
             good,
             pre=pre,
+            aux=(vmaps, nmaps),
         )
+        vmaps_t, nmaps_t = aux
         mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
-        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps, mv))
-        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps, mn))
+        mv = tuple(jnp.where(is_first, a, b) for a, b in zip(vmaps_t, mv))
+        mn = tuple(jnp.where(is_first, a, b) for a, b in zip(nmaps_t, mn))
     else:
 
         def fuse(vol):

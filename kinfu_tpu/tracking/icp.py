@@ -96,7 +96,10 @@ def _normal_equations(
     c = jnp.cross(s, n)
     r = jnp.sum(n * (d - s), axis=-1)
     rows = jnp.concatenate([c, n, r[..., None]], axis=-1)
-    rows = jnp.where(mask[..., None], rows, 0.0).reshape(-1, 7)
+    # multiply-mask (finite operands) — `jnp.where(mask, rows, 0.0)`
+    # miscompiles on XLA:TPU in programs containing the face-dispatch
+    # switch (tools/PERF_NOTES.md "fused-step masking miscompile")
+    rows = (rows * mask[..., None].astype(rows.dtype)).reshape(-1, 7)
 
     # 27 independent sums == upper triangle of rows^T rows; one MXU matmul
     G = jax.lax.dot_general(

@@ -464,7 +464,13 @@ def shade(
     inv_vs = jnp.array([1.0 / vsx, 1.0 / vsy, 1.0 / vsz], dtype=jnp.float32)
     delta = jnp.array([vsx, vsy, vsz], dtype=jnp.float32) * 0.5
 
-    t_safe = jnp.where(hit_mask, hit_t, 0.0)
+    # clamp-then-multiply, not `jnp.where(hit_mask, hit_t, 0.0)` — the
+    # select-with-zero form miscompiles on XLA:TPU in programs containing
+    # the face-dispatch switch (tools/PERF_NOTES.md "fused-step masking
+    # miscompile"); hit_t is clamped finite so the forms are identical
+    t_safe = jnp.minimum(hit_t, jnp.float32(1e30)) * hit_mask.astype(
+        jnp.float32
+    )
     vertex = org[None, None, :] + dirs * t_safe[..., None]
 
     def axis_grad(axis):
@@ -552,5 +558,5 @@ def raycast(
     Rinv = R.T
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, n)
-    mask = valid[..., None]
-    return jnp.where(mask, vcam, 0.0), jnp.where(mask, ncam, 0.0)
+    mask = valid.astype(jnp.float32)[..., None]
+    return vcam * mask, ncam * mask

@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--tag", type=str, default="synthetic_640x480_512")
     ap.add_argument("--angle-step", type=float, default=0.3)
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"])
     args = ap.parse_args()
 
     import jax
@@ -54,6 +55,7 @@ def main():
         pyramid_height=args.levels,
         icp_iters=(4, 5, 10)[: args.levels],
         volume_dims=(args.dim,) * 3,
+        fused_mode=args.fused,
     )
     intr = Intrinsics(
         width=args.width,
