@@ -42,11 +42,16 @@ def normal_map(vmap: jnp.ndarray, disc_threshold: float = 0.1) -> jnp.ndarray:
     correspondences systematically bias the ICP normal equations.
     """
     h, w, _ = vmap.shape
-    padded = jnp.pad(vmap, ((1, 1), (1, 1), (0, 0)))
-    left = padded[1 : h + 1, 0:w]
-    right = padded[1 : h + 1, 2 : w + 2]
-    up = padded[0:h, 1 : w + 1]
-    down = padded[2 : h + 2, 1 : w + 1]
+    # roll-based neighbour access, not jnp.pad: the pad's zero-filled
+    # buffer is another select-with-zero-shaped constant, and this chain
+    # miscompiles to all-zeros on XLA:TPU next to the fused switch
+    # (tools/PERF_NOTES.md "fused-step masking miscompile"). The wrapped
+    # border rows/cols produce garbage differences there, but the border
+    # mask below already invalidates them.
+    left = jnp.roll(vmap, 1, axis=1)
+    right = jnp.roll(vmap, -1, axis=1)
+    up = jnp.roll(vmap, 1, axis=0)
+    down = jnp.roll(vmap, -1, axis=0)
 
     ax = left - right
     ay = up - down

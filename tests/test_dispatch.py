@@ -91,6 +91,9 @@ def test_fused_update_matches_separate_kernels():
         icp_iters=(3,),
         volume_dims=(128,) * 3,
         volume_range=(3.0,) * 3,
+        # small face grid for interpret-mode runtime (both sides compare
+        # like against like)
+        raycast_face=(256, 104.0),
     )
     intr = Intrinsics(width=64, height=48, fx=53.0, fy=53.0, cx=31.5, cy=23.5)
     scene = default_test_scene()
@@ -104,17 +107,31 @@ def test_fused_update_matches_separate_kernels():
 
     vol0 = create_volume(params.volume_dims)
 
-    ref_vol = integrate_warped(
-        vol0, depth_m, color, vol2cam, intr, params, interpret=True
-    )
-    ref_vm, ref_nm = raycast_warped(
-        ref_vol, cam2vol, intr, params, interpret=True
-    )
+    import functools
+    import jax
 
-    f_vol, f_vm, f_nm = fused_update(
-        vol0, depth_m, color, vol2cam, cam2vol, intr, params,
-        good=jnp.asarray(True), interpret=True,
-    )
+    # jitted like the fused path below — an eager reference differs by
+    # 1-LSB fixed-point quantization (different fp contraction)
+    @jax.jit
+    def ref_jit(vol):
+        v = integrate_warped(
+            vol, depth_m, color, vol2cam, intr, params, interpret=True
+        )
+        vm, nm = raycast_warped(v, cam2vol, intr, params, interpret=True)
+        return v, vm, nm
+
+    ref_vol, ref_vm, ref_nm = ref_jit(vol0)
+
+    # one jitted trace serves both the good=True and good=False calls
+    # (`good` is a traced operand of the switch)
+    @functools.partial(jax.jit, static_argnames=("reset",))
+    def fused_jit(vol, good, reset):
+        return fused_update(
+            vol, depth_m, color, vol2cam, cam2vol, intr, params,
+            good=good, interpret=True, reset_on_fail=reset,
+        )
+
+    f_vol, f_vm, f_nm, _ = fused_jit(vol0, jnp.asarray(True), True)
     np.testing.assert_array_equal(np.asarray(f_vol.tsdf), np.asarray(ref_vol.tsdf))
     np.testing.assert_array_equal(
         np.asarray(f_vol.weight), np.asarray(ref_vol.weight)
@@ -123,16 +140,10 @@ def test_fused_update_matches_separate_kernels():
     np.testing.assert_allclose(np.asarray(f_nm), np.asarray(ref_nm), atol=1e-5)
 
     # failure branch: reset
-    r_vol, r_vm, r_nm = fused_update(
-        ref_vol, depth_m, color, vol2cam, cam2vol, intr, params,
-        good=jnp.asarray(False), interpret=True,
-    )
+    r_vol, r_vm, r_nm, _ = fused_jit(ref_vol, jnp.asarray(False), True)
     assert not np.any(np.asarray(r_vol.tsdf))
     assert not np.any(np.asarray(r_vm))
 
     # failure branch with keep: volume untouched
-    k_vol, _, _ = fused_update(
-        ref_vol, depth_m, color, vol2cam, cam2vol, intr, params,
-        good=jnp.asarray(False), interpret=True, reset_on_fail=False,
-    )
+    k_vol, _, _, _ = fused_jit(ref_vol, jnp.asarray(False), False)
     np.testing.assert_array_equal(np.asarray(k_vol.tsdf), np.asarray(ref_vol.tsdf))

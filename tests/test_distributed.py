@@ -229,53 +229,73 @@ def test_sharded_fused_switch_matches_separate_dispatch():
     assert np.any(np.asarray(st_f.model_nmaps[0]) != 0)
 
 
-def _sharded_warp_raycast_case(yaw_deg):
-    """sharded_raycast_warped vs single-device raycast_warped on the same
-    128^3 volume. yaw=0 exercises plane-sharded (+z) sweeps, yaw=90 the
-    row-sharded (+x/-x family) path."""
+_WARP_RAY_FNS = {}
+
+
+def _warp_ray_fns():
+    """One (single-device, sharded) jitted pair shared by the yaw cases —
+    the camera pose is a traced argument, so both orientations reuse one
+    trace each (interpret-mode lowering dominates; needs --dist loadfile)."""
+    if _WARP_RAY_FNS:
+        return _WARP_RAY_FNS["params"], _WARP_RAY_FNS["s"], _WARP_RAY_FNS["d"]
     from functools import partial
 
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from kinfu_tpu.geometry.se3 import rodrigues
+    from kinfu_tpu.geometry.se3 import Pose
     from kinfu_tpu.ops.pallas_raycast import raycast_warped
     from kinfu_tpu.parallel.sharded import sharded_raycast_warped
-    from kinfu_tpu.volume.tsdf import TSDFVolume, tsdf_to_fixed
+    from kinfu_tpu.volume.tsdf import TSDFVolume
 
-    dim = 128
     params = KinFuParams(
-        pyramid_height=1, icp_iters=(3,), volume_dims=(dim,) * 3,
+        pyramid_height=1, icp_iters=(3,), volume_dims=(128,) * 3,
         volume_range=(3.0, 3.0, 3.0),
     )
+
+    @jax.jit
+    def single(tsdf, R, t):
+        vol = TSDFVolume(tsdf=tsdf, weight=None, color=None)
+        return raycast_warped(vol, Pose(R, t), INTR, params, interpret=True)
+
+    mesh = make_mesh(8)
+    sharded = jax.jit(
+        shard_map(
+            partial(sharded_raycast_warped, intr=INTR, params=params,
+                    interpret=True),
+            mesh=mesh,
+            in_specs=(P("z"), Pose(P(), P())),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+    )
+    _WARP_RAY_FNS.update(params=params, s=single, d=sharded)
+    return params, single, sharded
+
+
+def _sharded_warp_raycast_case(yaw_deg):
+    """sharded_raycast_warped vs single-device raycast_warped on the same
+    128^3 volume. yaw=0 exercises plane-sharded (+z) sweeps, yaw=90 the
+    row-sharded (+x/-x family) path."""
+    from kinfu_tpu.geometry.se3 import Pose, rodrigues
+    from kinfu_tpu.volume.tsdf import tsdf_to_fixed
+
+    params, single, sharded = _warp_ray_fns()
+    dim = 128
     vs = params.voxel_size[0]
     g = (np.arange(dim) * vs).astype(np.float32)
     Z, Y, X = np.meshgrid(g, g, g, indexing="ij")
     d = np.sqrt((X - 1.5) ** 2 + (Y - 1.5) ** 2 + (Z - 1.5) ** 2) - 0.6
     tsdf = tsdf_to_fixed(jnp.asarray(np.clip(d / params.trunc_dist, -1, 1)))
-    vol = TSDFVolume(tsdf=tsdf, weight=None, color=None)
 
     R = rodrigues(jnp.array([0.0, np.deg2rad(yaw_deg), 0.0], jnp.float32))
     t = jnp.asarray(
         np.array([1.5, 1.5, 1.5], np.float32)
         - 1.3 * np.asarray(R)[:, 2]  # 1.3 m back along the view direction
     )
-    from kinfu_tpu.geometry.se3 import Pose
 
-    c2v = Pose(R=R, t=t)
-
-    vm_s, nm_s = raycast_warped(vol, c2v, INTR, params, interpret=True)
-
-    mesh = make_mesh(8)
-    fn = shard_map(
-        partial(sharded_raycast_warped, intr=INTR, params=params,
-                interpret=True),
-        mesh=mesh,
-        in_specs=(P("z"), Pose(P(), P())),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
-    vm_d, nm_d = fn(tsdf, c2v)
+    vm_s, nm_s = single(tsdf, R, t)
+    vm_d, nm_d = sharded(tsdf, Pose(R=R, t=t))
 
     np.testing.assert_allclose(np.asarray(vm_d), np.asarray(vm_s), atol=1e-4)
     np.testing.assert_allclose(np.asarray(nm_d), np.asarray(nm_s), atol=1e-4)

@@ -38,8 +38,15 @@ ALL_WARPED = dict(
 )
 
 
+_STEP_FNS = {}
+
+
 def _track(params, frames):
-    step = make_step_fn(params, INTR, donate=False)
+    # share the jitted step across tests with identical params (the fused
+    # on/off traces dominate wall time; needs --dist loadfile)
+    if params not in _STEP_FNS:
+        _STEP_FNS[params] = make_step_fn(params, INTR, donate=False)
+    step = _STEP_FNS[params]
     st = init_state(params, INTR)
     poses = []
     for d, c in frames:

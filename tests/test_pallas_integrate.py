@@ -16,13 +16,16 @@ parity to ~1 voxel, and (d) tight value parity only where the scaling is
 provably small (near-axis, near-surface).
 """
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from kinfu_tpu.config import KinFuParams
 from kinfu_tpu.data.synthetic import SyntheticScene, default_test_scene, plane, sphere
 from kinfu_tpu.geometry.intrinsics import Intrinsics
-from kinfu_tpu.geometry.se3 import compose, inverse, pose_from_matrix
+from kinfu_tpu.geometry.se3 import Pose, compose, inverse, pose_from_matrix
 from kinfu_tpu.ops.facewarp import FaceSpec, face_frames
 from kinfu_tpu.ops.pallas_integrate import faces_needed, integrate_warped
 from kinfu_tpu.volume.integrate import integrate
@@ -58,11 +61,12 @@ def _vol2cam(T_world_cam: np.ndarray):
     return compose(inverse(cam), volp)
 
 
-def _fuse_both(T, faces, scene=None):
-    scene = scene or default_test_scene()
-    depth_raw, color = scene.render_frame(T.astype(np.float32), INTR)
-    depth_m, color = jnp.asarray(depth_raw * 0.001), jnp.asarray(color)
-    v2c = _vol2cam(T)
+# One jitted callable per `faces` value shared across this file's cases
+# (pose/depth traced): interpret-mode Pallas lowering dominates the wall
+# time and unjitted calls retrace per invocation. Needs --dist loadfile.
+@functools.partial(jax.jit, static_argnames=("faces",))
+def _fuse_both_jit(depth_m, color, R, t, faces):
+    v2c = Pose(R, t)
     vol0 = create_volume(PARAMS.volume_dims)
     g = integrate(vol0, depth_m, color, v2c, INTR, PARAMS)
     w = integrate_warped(
@@ -70,6 +74,23 @@ def _fuse_both(T, faces, scene=None):
         faces=faces,
     )
     return g, w
+
+
+def _fuse_both(T, faces, scene=None):
+    scene = scene or default_test_scene()
+    depth_raw, color = scene.render_frame(T.astype(np.float32), INTR)
+    depth_m, color = jnp.asarray(depth_raw * 0.001), jnp.asarray(color)
+    v2c = _vol2cam(T)
+    return _fuse_both_jit(depth_m, color, v2c.R, v2c.t, faces)
+
+
+@functools.partial(jax.jit, static_argnames=("faces",))
+def _warped_only_jit(depth_m, color, R, t, faces):
+    vol0 = create_volume(PARAMS.volume_dims)
+    return integrate_warped(
+        vol0, depth_m, color, Pose(R, t), INTR, PARAMS, spec=SPEC,
+        interpret=True, faces=faces,
+    )
 
 
 def _crossing_depth(t, wmask):
@@ -204,16 +225,10 @@ def test_face_ownership_exclusive():
     T = _roty(40.0)
     scene = default_test_scene()
     depth_raw, color = scene.render_frame(T, INTR)
-    vol = integrate_warped(
-        create_volume(PARAMS.volume_dims),
-        jnp.asarray(depth_raw * 0.001),
-        jnp.asarray(color),
-        _vol2cam(T),
-        INTR,
-        PARAMS,
-        spec=SPEC,
-        interpret=True,
-        faces=ALL_FACES,
+    v2c = _vol2cam(T)
+    vol = _warped_only_jit(
+        jnp.asarray(depth_raw * 0.001), jnp.asarray(color), v2c.R, v2c.t,
+        ALL_FACES,
     )
     wts = np.asarray(vol.weight)
     assert wts.max() == 1
@@ -229,14 +244,8 @@ def test_auto_equals_all_faces():
     depth_m, color = jnp.asarray(depth_raw * 0.001), jnp.asarray(color)
     v2c = _vol2cam(T)
     vol0 = create_volume(PARAMS.volume_dims)
-    a = integrate_warped(
-        vol0, depth_m, color, v2c, INTR, PARAMS, spec=SPEC, interpret=True,
-        faces="auto",
-    )
-    b = integrate_warped(
-        vol0, depth_m, color, v2c, INTR, PARAMS, spec=SPEC, interpret=True,
-        faces=ALL_FACES,
-    )
+    a = _warped_only_jit(depth_m, color, v2c.R, v2c.t, "auto")
+    b = _warped_only_jit(depth_m, color, v2c.R, v2c.t, ALL_FACES)
     np.testing.assert_array_equal(np.asarray(a.tsdf), np.asarray(b.tsdf))
     np.testing.assert_array_equal(np.asarray(a.weight), np.asarray(b.weight))
     np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))

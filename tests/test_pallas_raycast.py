@@ -13,6 +13,8 @@ normals to a voxel-scale angular noise floor that shrinks with resolution
 (measured ~10 deg median at 128^3, ~3 deg at 256^3, tests pin the 128^3
 bound)."""
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -68,13 +70,24 @@ def _sphere_volume(with_floor=False) -> TSDFVolume:
 _WARP_CACHE = {}
 
 
+# One jitted callable per `faces` value, shared by every test case in this
+# file (pose and volume are traced arguments): interpret-mode Pallas
+# lowering dominates these tests' wall time, and an unjitted call retraces
+# it per invocation. Requires xdist --dist loadfile (pyproject) so cases
+# land in the same worker process.
+@functools.partial(jax.jit, static_argnames=("faces",))
+def _warped_jit(tsdf, R, t, faces):
+    vol = TSDFVolume(tsdf=tsdf, weight=None, color=None)
+    return raycast_warped(
+        vol, Pose(R, t), INTR, PARAMS, spec=SPEC, interpret=True, faces=faces
+    )
+
+
 def _warped(vol, cam2vol, faces="auto", cache_key=None):
     key = (cache_key, faces) if cache_key else None
     if key is not None and key in _WARP_CACHE:
         return _WARP_CACHE[key]
-    vm, nm = raycast_warped(
-        vol, cam2vol, INTR, PARAMS, spec=SPEC, interpret=True, faces=faces
-    )
+    vm, nm = _warped_jit(vol.tsdf, cam2vol.R, cam2vol.t, faces)
     out = (np.asarray(vm), np.asarray(nm))
     if key is not None:
         _WARP_CACHE[key] = out
