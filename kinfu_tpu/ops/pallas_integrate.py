@@ -80,6 +80,10 @@ _S_COVER = 2.2
 #: beyond the exact ownership cone, safely above the 7x7 sampling gap
 _FACE_MARGIN = 0.75
 
+#: max voxels per slab row-block (see _sweep_face): 2^18 keeps the block's
+#: in+out x 3-array footprint within the 16 MB scoped-VMEM budget
+_YB_CAP = 1 << 18
+
 
 def _fiota(shape, dim):
     """float32 iota via int32 (Mosaic rejects float tpu.iota)."""
@@ -157,11 +161,18 @@ def _kernel(
     spec: FaceSpec,
     y_dim: int,
     x_dim: int,
+    y_block: int,
     unroll: int,
     gt_x: bool,
     gt_y: bool,
 ):
     z = pl.program_id(0)
+    # y-blocking: at >=1024^2 slab cross-sections a whole (1, Y, X) slab
+    # block exceeds the 16 MB scoped-VMEM budget (measured: 32 MB at
+    # 1024^2), so the grid carries a second dimension over row blocks;
+    # geometry below always uses the GLOBAL row index y_base + local.
+    y_base = pl.program_id(1) * y_block
+    y_basef = y_base.astype(jnp.float32)
     cx, cy, cz = prm_ref[0], prm_ref[1], prm_ref[2]
     vsx, vsy, vsz = prm_ref[3], prm_ref[4], prm_ref[5]
     focal, centre = prm_ref[6], prm_ref[7]
@@ -200,9 +211,12 @@ def _kernel(
     # per-chunk pl.when measured ~2x SLOWER than no gating at all (Mosaic
     # scheduling; tools/integrate_probe.py r3).
     dx_min_f = _min_abs(-cx, (x_dim - 1) * vsx - cx)
-    dy_min_f = _min_abs(-cy, (y_dim - 1) * vsy - cy)
+    dy_min_f = _min_abs(
+        y_basef * vsy - cy, (y_basef + y_block - 1) * vsy - cy
+    )
     u_hi_f = au * jnp.float32(x_dim - 1) + bu
-    v_hi_f = av * jnp.float32(y_dim - 1) + bv
+    v_lo_f = av * y_basef + bv  # av >= 0: min over the block's rows
+    v_hi_f = av * (y_basef + y_block - 1) + bv
     r_min_slab_mm = (
         jnp.sqrt(dx_min_f * dx_min_f + dy_min_f * dy_min_f + dz * dz) * 1000.0
     )
@@ -213,7 +227,7 @@ def _kernel(
         & (u_hi_f >= -0.5)
         & (bu <= width.astype(jnp.float32) - 0.5)
         & (v_hi_f >= -0.5)
-        & (bv <= h_lvl.astype(jnp.float32) - 0.5)
+        & (v_lo_f <= h_lvl.astype(jnp.float32) - 0.5)
         & (r_min_slab_mm <= r_max_mm + trunc_mm)
     )
 
@@ -227,8 +241,8 @@ def _kernel(
         # granularity measured SLOWER than unconditional work (Mosaic
         # scheduling, tools/integrate_probe.py r3); only the whole-slab
         # gate below pays off.
-        y0 = i * 8
-        y0f = y0.astype(jnp.float32)
+        y0 = i * 8  # row index local to this y block
+        y0f = (y_base + y0).astype(jnp.float32)  # GLOBAL row (geometry)
         row_sl = pl.ds(pl.multiple_of(y0, 8), 8)
 
         # window starts from the strip's first row (av >= 0 -> min at y0)
@@ -322,7 +336,7 @@ def _kernel(
             )
             col_out[0, row_sl, lane_sl] = jnp.where(cupd, c_new, c_old)
 
-    n_strips = y_dim // 8
+    n_strips = y_block // 8
 
     def body(k, _):
         for s in range(unroll):
@@ -418,22 +432,32 @@ def _sweep_face(
         ]
     )
 
+    # y-block rows so the slab's (in + out) x 3-array VMEM footprint stays
+    # inside the 16 MB scoped budget with double buffering: 8 B/voxel x
+    # YB x Xp x 2 x 2 <= ~8 MB  =>  YB * Xp <= 2^18 (whole slab at <= 512^2)
+    YB = Yp
+    while YB * Xp > _YB_CAP and YB % 16 == 0:
+        YB //= 2
+    assert YB % 8 == 0, (frame.name, Yp, Xp, YB)
+
     kern = functools.partial(
         _kernel,
         spec=spec,
         y_dim=Yp,
         x_dim=Xp,
-        unroll=4 if Yp % 32 == 0 else 1,
+        y_block=YB,
+        unroll=4 if YB % 32 == 0 else 1,
         gt_x=frame.gt_x,
         gt_y=frame.gt_y,
     )
-    slab = lambda: pl.BlockSpec((1, Yp, Xp), lambda z: (z, 0, 0))  # noqa: E731
+    slab = lambda: pl.BlockSpec((1, YB, Xp), lambda z, yb: (z, yb, 0))  # noqa: E731
     whole = pl.BlockSpec(
-        (spec.stack_rows, spec.size), lambda z: (0, 0), memory_space=pltpu.VMEM
+        (spec.stack_rows, spec.size), lambda z, yb: (0, 0),
+        memory_space=pltpu.VMEM,
     )
     t_n, w_n, c_n = pl.pallas_call(
         kern,
-        grid=(Zp,),
+        grid=(Zp, Yp // YB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             whole,

@@ -82,44 +82,3 @@ def test_all_warped_tracked_sequence_accuracy():
     _, poses = _track(KinFuParams(**ALL_WARPED, fused_mode="on"), frames)
     ate = ate_rmse(poses, gt)
     assert ate < 2e-3, f"all-warped ATE vs GT {ate:.5f} m"
-
-
-def test_streaming_fused_matches_separate_dispatch():
-    """The streaming step's fused path (grid shift riding fused_update's
-    `pre` hook inside the ONE lax.switch) must reproduce the separate
-    shift+integrate+raycast conditional with the same warped kernels."""
-    from kinfu_tpu.pipeline.streaming import (
-        init_streaming_state,
-        make_streaming_step_fn,
-    )
-
-    frames, _ = _frames(3)
-    results = {}
-    for mode in ("on", "off"):
-        params = KinFuParams(**ALL_WARPED, fused_mode=mode)
-        # tight central box so the anchor-follow shift actually fires and
-        # the `pre` grid-shift path is exercised, not just traced
-        step = make_streaming_step_fn(
-            params, INTR, donate=False, margin_frac=0.49
-        )
-        st = init_streaming_state(params, INTR)
-        poses = []
-        for d, c in frames:
-            st, out = step(st, jnp.asarray(d), jnp.asarray(c))
-            assert bool(out.tracking_ok)
-            poses.append(np.asarray(out.pose_matrix))
-        results[mode] = (st, poses)
-
-    st_f, poses_f = results["on"]
-    st_s, poses_s = results["off"]
-    assert np.array_equal(
-        np.asarray(st_f.origin_vox), np.asarray(st_s.origin_vox)
-    )
-    assert np.any(np.asarray(st_f.origin_vox) != 0)  # a shift happened
-    for pf, ps in zip(poses_f, poses_s):
-        np.testing.assert_allclose(pf, ps, atol=1e-5)
-    np.testing.assert_allclose(
-        tsdf_to_float(st_f.kinfu.vol.tsdf),
-        tsdf_to_float(st_s.kinfu.vol.tsdf),
-        atol=1e-6,
-    )

@@ -156,6 +156,48 @@ def _compare(g, w, min_ratio, sign_min=0.95):
         assert np.median(d) < 0.25, np.median(d)
 
 
+def test_y_blocked_sweep_matches_unblocked():
+    """Slab cross-sections past 512^2 split the grid over row blocks to fit
+    scoped VMEM (pallas_integrate._sweep_face YB). A (512, 1024) slab
+    triggers YB=512: the blocked sweep must be BIT-IDENTICAL to the
+    unblocked one (same math, different grid partitioning)."""
+    import kinfu_tpu.ops.pallas_integrate as PI
+
+    params = KinFuParams(
+        pyramid_height=1,
+        icp_iters=(4,),
+        volume_dims=(512, 1024, 8),  # (X, Y, Z) -> slab rows x lanes = 1024 x 512
+        volume_range=(3.0, 6.0, 3.0 / 128),
+        volume_origin=(-1.5, -3.0, 2.19),  # thin sheet through the scene
+    )
+    scene = default_test_scene()
+    depth_raw, color = scene.render_frame(np.eye(4, dtype=np.float32), INTR)
+    depth_m, color = jnp.asarray(depth_raw * 0.001), jnp.asarray(color)
+    cam = pose_from_matrix(jnp.asarray(np.eye(4, dtype=np.float32)))
+    v2c = compose(inverse(cam), pose_from_matrix(jnp.asarray(params.volume_pose)))
+    vol0 = create_volume(params.volume_dims)
+
+    cap0 = PI._YB_CAP
+    try:
+        PI._YB_CAP = 1 << 30  # whole-slab blocks (the pre-blocking layout)
+        ref = integrate_warped(
+            vol0, depth_m, color, v2c, INTR, params, spec=SPEC,
+            interpret=True, faces=("+z",),
+        )
+        PI._YB_CAP = 1 << 18  # production cap -> YB=512, grid (8, 2)
+        blk = integrate_warped(
+            vol0, depth_m, color, v2c, INTR, params, spec=SPEC,
+            interpret=True, faces=("+z",),
+        )
+    finally:
+        PI._YB_CAP = cap0
+
+    assert int(np.asarray(blk.weight).astype(np.int64).sum()) > 500
+    np.testing.assert_array_equal(np.asarray(blk.tsdf), np.asarray(ref.tsdf))
+    np.testing.assert_array_equal(np.asarray(blk.weight), np.asarray(ref.weight))
+    np.testing.assert_array_equal(np.asarray(blk.color), np.asarray(ref.color))
+
+
 def test_warped_matches_gather_near_axis():
     g, w = _fuse_both(np.eye(4, dtype=np.float32), faces=("+z",))
     _compare(g, w, min_ratio=0.9)

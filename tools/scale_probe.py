@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--z", type=int, default=1024, help="global Z dim")
     ap.add_argument("--shards", type=str, default="8,32")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument(
+        "--no-ray", action="store_true",
+        help="skip the raycast sweep (its (8, rows, XY) block exceeds "
+        "scoped VMEM when the primed row dim is >= 512 at XY=1024 — the "
+        "unsharded volume; needs the DMA-tile rewrite, see PERF_NOTES)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -88,14 +94,20 @@ def main():
         Ri, ti = vol2cam
         v2c_local = Pose(Ri, ti + Ri[:, 2] * zoff_m)
 
-        tsdf = jnp.zeros((Zl, XY, XY), jnp.int16)
-        weight = jnp.zeros((Zl, XY, XY), jnp.int16)
-        col = jnp.zeros((Zl, XY, XY), jnp.int32)
-        # raycast sweeps the halo-padded slab (halo = 8 rows each side)
         pad = 8 if n > 1 else 0
-        tsdf_p = jnp.zeros((Zl + 2 * pad, XY, XY), jnp.int16)
-        D, off, vs_p = _prime_geometry(pz, params)
-        org_p = D @ cam2vol.t + off
+        # raycast: the plane-sharded (+-z-looking) orientation needs a
+        # whole (8, XY, XY) plane block in VMEM — 16 MB at 1024^2, over the
+        # scoped budget (needs the DMA-tile rewrite, PERF_NOTES). Measure
+        # the ROW-SHARDED orientation (+-y/+-x-looking camera): primed local
+        # slab (XY, Zl + 2*pad, XY), block (8, Zl+2p, XY) — in budget.
+        py = [fr for fr in face_frames() if fr.name == "+y"][0]
+        Dy, offy, vs_py = _prime_geometry(py, params)
+        org_py = Dy @ cam2vol.t + offy
+        if args.no_ray:  # unused, but a real program argument: keep tiny
+            tsdf_p = jnp.zeros((8, 8, 128), jnp.int16)
+        else:
+            tsdf_p = jnp.zeros((XY, Zl + 2 * pad, XY), jnp.int16)
+        dims_gy = (XY, Zg, XY)  # primed global dims for the +y face
 
         def run(n_int, n_ray, tsdf, weight, col, tsdf_p):
             def loop(k, body, c0):
@@ -113,14 +125,17 @@ def main():
 
             def ray_body(carry):
                 hit, back = _sweep_face_rays(
-                    tsdf_p, org_p + carry * 1e-30, vs_p, rspec, False,
-                    dims_global=(Zg, XY, XY),
-                    plane0=jnp.asarray(z_off - pad, jnp.int32),
-                    row0=jnp.asarray(0, jnp.int32),
+                    tsdf_p, org_py + carry * 1e-30, vs_py, rspec, False,
+                    dims_global=dims_gy,
+                    plane0=jnp.asarray(0, jnp.int32),
+                    row0=jnp.asarray(z_off - pad, jnp.int32),
                 )
                 return carry + hit[0, 0] * 1e-30 + back[0, 0] * 1e-30
 
-            r = loop(n_ray, ray_body, jnp.float32(0))
+            if args.no_ray:
+                r = jnp.float32(0) * n_ray
+            else:
+                r = loop(n_ray, ray_body, jnp.float32(0))
             return (
                 t1[0, 0, 0].astype(jnp.float32)
                 + w1[0, 0, 0].astype(jnp.float32)
@@ -135,7 +150,7 @@ def main():
                 jnp.zeros((Zl, XY, XY), jnp.int16),
                 jnp.zeros((Zl, XY, XY), jnp.int16),
                 jnp.zeros((Zl, XY, XY), jnp.int32),
-            )
+            )  # fresh (donated) volume arrays per call
             t0 = time.perf_counter()
             np.asarray(jrun(ni, nr, tsdf_, weight_, col_, tsdf_p))
             return time.perf_counter() - t0
@@ -145,9 +160,13 @@ def main():
         K = args.iters
         base = min(t(1, 1) for _ in range(3))
         ti_ = min(t(1 + K, 1) for _ in range(2))
-        tr_ = min(t(1, 1 + K) for _ in range(2))
+        if args.no_ray:
+            tr_ = base
+            ray_ms = float("nan")
+        else:
+            tr_ = min(t(1, 1 + K) for _ in range(2))
+            ray_ms = (tr_ - base) / K * 1e3
         int_ms = (ti_ - base) / K * 1e3
-        ray_ms = (tr_ - base) / K * 1e3
         # analytic collective bound: halo 2 dirs x 8 rows x XY*XY int16,
         # pmin composite 2 x face^2 f32 x log2(n) hops; v5e ICI ~45 GB/s
         halo_ms = 0.0 if n == 1 else (2 * 8 * XY * XY * 2) / 45e9 * 1e3
@@ -160,12 +179,12 @@ def main():
                     "shards": n,
                     "slab": [Zl, XY, XY],
                     "integrate_sweep_ms": round(int_ms, 2),
-                    "raycast_sweep_ms": round(ray_ms, 2),
+                    "raycast_sweep_ms": None if np.isnan(ray_ms) else round(ray_ms, 2),
                     "halo_bound_ms": round(halo_ms, 3),
                     "pmin_bound_ms": round(pmin_ms, 3),
-                    "per_shard_total_ms": round(
-                        int_ms + ray_ms + halo_ms + pmin_ms, 2
-                    ),
+                    "per_shard_total_ms": None
+                    if np.isnan(ray_ms)
+                    else round(int_ms + ray_ms + halo_ms + pmin_ms, 2),
                 }
             ),
             flush=True,
