@@ -65,7 +65,7 @@ def fused_update(
     params: KinFuParams,
     good: jnp.ndarray,
     interpret: bool | None = None,
-    reset_on_fail: bool = True,
+    reset_on_fail: bool | jnp.ndarray = True,
     pre=None,
     aux=None,
 ):
@@ -185,15 +185,18 @@ def fused_update(
         return (*arrs, *acc, a[3])
 
     def fail(a):
-        if reset_on_fail:  # kinectfusion.cpp:97-102 reset
-            return (
-                jnp.zeros_like(a[0]),
-                jnp.zeros_like(a[1]),
-                jnp.zeros_like(a[2]),
-                *acc0,
-                a[3],
-            )
-        return (*a[:3], *acc0, a[3])  # keep map (relocalizer owns recovery)
+        # reset (kinectfusion.cpp:97-102) or keep-for-relocalizer, selected
+        # by multiplication so `reset_on_fail` may be traced (one switch
+        # trace serves both modes); cost is a slab read+write only on
+        # failure frames
+        k16 = jnp.asarray(jnp.logical_not(reset_on_fail), jnp.int16)
+        return (
+            a[0] * k16,
+            a[1] * k16,
+            a[2] * k16.astype(jnp.int32),
+            *acc0,
+            a[3],
+        )
 
     outs = jax.lax.switch(
         code,

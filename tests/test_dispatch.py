@@ -122,16 +122,16 @@ def test_fused_update_matches_separate_kernels():
 
     ref_vol, ref_vm, ref_nm = ref_jit(vol0)
 
-    # one jitted trace serves both the good=True and good=False calls
-    # (`good` is a traced operand of the switch)
-    @functools.partial(jax.jit, static_argnames=("reset",))
+    # ONE jitted trace serves good=True/False and reset/keep (both are
+    # traced operands of the switch)
+    @jax.jit
     def fused_jit(vol, good, reset):
         return fused_update(
             vol, depth_m, color, vol2cam, cam2vol, intr, params,
             good=good, interpret=True, reset_on_fail=reset,
         )
 
-    f_vol, f_vm, f_nm, _ = fused_jit(vol0, jnp.asarray(True), True)
+    f_vol, f_vm, f_nm, _ = fused_jit(vol0, jnp.asarray(True), jnp.asarray(True))
     np.testing.assert_array_equal(np.asarray(f_vol.tsdf), np.asarray(ref_vol.tsdf))
     np.testing.assert_array_equal(
         np.asarray(f_vol.weight), np.asarray(ref_vol.weight)
@@ -140,10 +140,10 @@ def test_fused_update_matches_separate_kernels():
     np.testing.assert_allclose(np.asarray(f_nm), np.asarray(ref_nm), atol=1e-5)
 
     # failure branch: reset
-    r_vol, r_vm, r_nm, _ = fused_jit(ref_vol, jnp.asarray(False), True)
+    r_vol, r_vm, r_nm, _ = fused_jit(ref_vol, jnp.asarray(False), jnp.asarray(True))
     assert not np.any(np.asarray(r_vol.tsdf))
     assert not np.any(np.asarray(r_vm))
 
     # failure branch with keep: volume untouched
-    k_vol, _, _, _ = fused_jit(ref_vol, jnp.asarray(False), False)
+    k_vol, _, _, _ = fused_jit(ref_vol, jnp.asarray(False), jnp.asarray(False))
     np.testing.assert_array_equal(np.asarray(k_vol.tsdf), np.asarray(ref_vol.tsdf))
