@@ -59,6 +59,12 @@ def main():
         "per-frame jitted steps",
     )
     ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="use the streaming (moving-volume) step instead of kinfu_step "
+        "(per-frame mode only)",
+    )
+    ap.add_argument(
         "--replay",
         type=int,
         default=0,
@@ -144,6 +150,30 @@ def main():
             for i in range(n):
                 print(f"replay {i:3d}  ok={bool(oks[i])}  inliers={int(inl[i])}")
             all_ok &= bool(oks.all())
+    elif args.streaming:
+        from kinfu_tpu.pipeline.streaming import (
+            init_streaming_state,
+            make_streaming_step_fn,
+        )
+
+        sstep = make_streaming_step_fn(params, intr, donate=not args.no_donate)
+        sstate = init_streaming_state(params, intr)
+        for i in range(args.frames):
+            t0 = time.perf_counter()
+            sstate, out = sstep(
+                sstate, jnp.asarray(depths[i]), jnp.asarray(colors[i])
+            )
+            ok = bool(out.tracking_ok)
+            inl = int(out.icp_inliers)
+            origin = np.asarray(sstate.origin_vox).tolist()
+            dt = time.perf_counter() - t0
+            print(
+                f"frame {i:3d}  ok={ok}  inliers={inl}  origin={origin}"
+                f"  ({dt:.2f}s)",
+                flush=True,
+            )
+            if i > 0:
+                all_ok &= ok
     else:
         step = make_step_fn(params, intr, donate=not args.no_donate)
         for i in range(args.frames):
