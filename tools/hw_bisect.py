@@ -72,6 +72,8 @@ def main():
         "continuing state (reproduces bench.py's alternating structure)",
     )
     args = ap.parse_args()
+    if args.scan and args.streaming:
+        ap.error("--streaming only supports per-frame mode (drop --scan)")
 
     import jax
     import jax.numpy as jnp
