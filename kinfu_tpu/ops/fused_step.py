@@ -106,9 +106,12 @@ def fused_update(
     # A singular ICP solve can leave NaNs in the failed pose; the multiply
     # masking below (0 * NaN = NaN) would leak them into the documented
     # "zeros on the failure branch" contract, so sanitize here (3x3 + 3
-    # scalars — free next to the volume work).
-    R = jnp.where(jnp.isfinite(R), R, jnp.eye(3, dtype=R.dtype))
-    org = jnp.where(jnp.isfinite(tt), tt, 0.0)
+    # scalars — free next to the volume work). Whole-matrix substitution:
+    # element-wise repair of a partially-NaN R would mix surviving entries
+    # with identity entries into a non-orthonormal matrix.
+    pose_ok = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(tt))
+    R = jnp.where(pose_ok, R, jnp.eye(3, dtype=R.dtype))
+    org = jnp.where(pose_ok, tt, jnp.zeros_like(tt))
 
     frames = list(face_frames())
     col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)

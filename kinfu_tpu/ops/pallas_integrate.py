@@ -439,6 +439,13 @@ def _sweep_face(
     while YB * Xp > _YB_CAP and YB % 16 == 0:
         YB //= 2
     assert YB % 8 == 0, (frame.name, Yp, Xp, YB)
+    # the halving loop stops when YB is 8*odd — if the block is still over
+    # budget then (Y = 8*odd with very large X), fail here with a clear
+    # message instead of a Mosaic scoped-VMEM compile error
+    assert YB * Xp <= _YB_CAP, (
+        f"{frame.name}: slab row-block {YB}x{Xp} exceeds the VMEM budget "
+        f"({_YB_CAP} voxels); pad Y to a higher power-of-two multiple"
+    )
 
     kern = functools.partial(
         _kernel,

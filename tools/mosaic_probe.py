@@ -12,6 +12,24 @@ one run answers all feasibility questions:
   6. gather from int16 source
   7. scalar any-reduction driving @pl.when
   8. throughput of the axis-1 gather (chained fori_loop)
+
+Findings from the retired round-2/3/4 probe variants (mosaic_probe2-4,
+folded here r5; measured numbers live in tools/PERF_NOTES.md):
+
+  - r2 (windowed 2D lookup): only 2D refs slice dynamically on both axes;
+    pl.ds sublane starts must be 8-aligned multiples (pl.multiple_of) or
+    Mosaic pays an unaligned-copy penalty; dynamic trip counts via SMEM
+    scalars + fori_loop work and are the only way to amortize the remote
+    dispatch round-trip in measurements.
+  - r3 (micro-costs): dynamic fori iteration ~30 ns floor; a straight-line
+    [8,128] gather (take_along_axis) ~40 ns; lax.cond inside the kernel
+    costs MORE than the skipped gather for tile-sized work — predicate at
+    slab/strip granularity only; scalar any-reductions (for alive flags)
+    are cheap (~10 ns).
+  - r4 (control flow in gather2d): straight-line 2-window x n-chunk x 2-d
+    unrolled gathers beat the dynamic-window + chunk-cond + d-fori hybrid
+    ~3x; TileIndices bounds reductions are ~25% of the straight-line cost —
+    which is why ops/tilegather.py generates static-count unrolled windows.
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -53,7 +54,9 @@ def main():
     except Exception:
         pass
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from kinfu_tpu.config import KinFuParams
     from kinfu_tpu.data.synthetic import default_test_scene
     from kinfu_tpu.geometry.intrinsics import Intrinsics
