@@ -25,6 +25,11 @@ class Keyframe:
     #: ICP, mapping/loop_closure.py); tuples of [H,W,3] float32 arrays
     vmaps: Optional[tuple] = None
     nmaps: Optional[tuple] = None
+    #: raw sensor frame at selection time (depth [H,W] f32 sensor units,
+    #: color [H,W,3] u8) — lets the map be re-integrated at corrected poses
+    #: after a loop closure (KinFuSession._rebuild_map)
+    depth: Optional[np.ndarray] = None
+    color: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -53,11 +58,14 @@ class KeyframeStore:
         depth_thumb: Optional[np.ndarray] = None,
         vmaps: Optional[tuple] = None,
         nmaps: Optional[tuple] = None,
+        depth: Optional[np.ndarray] = None,
+        color: Optional[np.ndarray] = None,
     ) -> bool:
         if self.should_add(pose):
             self.keyframes.append(
                 Keyframe(index=index, pose=np.asarray(pose, np.float32),
-                         depth_thumb=depth_thumb, vmaps=vmaps, nmaps=nmaps)
+                         depth_thumb=depth_thumb, vmaps=vmaps, nmaps=nmaps,
+                         depth=depth, color=color)
             )
             return True
         return False

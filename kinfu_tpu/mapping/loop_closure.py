@@ -19,6 +19,12 @@ Pipeline (driven by KinFuSession when pose_graph=True):
      (mapping/pose_graph.py) and the full trajectory is corrected
      segment-rigidly: frames between keyframes k and k+1 move by the
      correction of keyframe k.
+  4. The MAP adopts the correction too (reintegrate_on_closure): the
+     stored keyframe frames are re-fused into a reset volume at their
+     optimized poses and the model prediction maps are re-raycast from
+     the corrected current pose (KinFuSession._rebuild_map) — so
+     extraction, PLY export and subsequent frame-to-model tracking are
+     consistent with the corrected trajectory.
 """
 
 from __future__ import annotations
@@ -52,6 +58,12 @@ class LoopClosureConfig:
     #: keyframe selection gates (KeyframeStore)
     kf_min_translation: float = 0.10
     kf_min_rotation_deg: float = 10.0
+    #: after a closure, re-integrate the stored keyframe frames into a
+    #: reset volume at their corrected poses so the MAP (not just the
+    #: reported trajectory) adopts the correction — without this the TSDF
+    #: keeps the drifted geometry and post-closure raycast tracking,
+    #: extraction and PLY export disagree with the corrected trajectory
+    reintegrate_on_closure: bool = True
 
 
 def _rel(a: np.ndarray, b: np.ndarray) -> np.ndarray:

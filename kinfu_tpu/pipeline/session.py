@@ -134,6 +134,48 @@ class KinFuSession:
             self._measurement_pyr = _measurement_pyr
             self._closure_icp = _closure_icp
 
+            # ---- post-closure map rebuild (map consistency) ----
+            # close_loop corrects the TRAJECTORY; without re-integration the
+            # TSDF keeps the drifted geometry, so raycast tracking,
+            # extraction and PLY export would disagree with the corrected
+            # poses. These jitted helpers re-fuse the stored keyframe
+            # frames into a reset volume at their corrected poses.
+            from kinfu_tpu.geometry.se3 import compose, inverse
+            from kinfu_tpu.pipeline.kinfu import _model_pyramid
+            from kinfu_tpu.volume.integrate import integrate as _integrate_fn
+            from kinfu_tpu.volume.raycast import raycast as _raycast_fn
+            from kinfu_tpu.volume.tsdf import reset_volume
+
+            vol_pose = _volume_pose(p)
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def _kf_integrate(vol, depth, color, pose_m):
+                dmaps, _, _ = build_measurement_pyramid(
+                    depth,
+                    intr,
+                    pyramid_height=p.pyramid_height,
+                    bfilter_kernel_size=p.bfilter_kernel_size,
+                    bfilter_color_sigma=p.bfilter_color_sigma,
+                    bfilter_spatial_sigma=p.bfilter_spatial_sigma,
+                    depth_scale=p.depth_scale,
+                    max_dist=p.dfilter_dist,
+                    normal_disc_threshold=p.normal_disc_threshold,
+                )
+                pose = pose_from_matrix(pose_m)
+                vol2cam = compose(inverse(pose), vol_pose)
+                return _integrate_fn(vol, dmaps[0], color, vol2cam, intr, p)
+
+            @jax.jit
+            def _model_from_vol(vol, pose_m):
+                pose = pose_from_matrix(pose_m)
+                cam2vol = compose(inverse(vol_pose), pose)
+                rv, rn = _raycast_fn(vol, cam2vol, intr, p)
+                return _model_pyramid(rv, rn, p.pyramid_height)
+
+            self._kf_integrate = _kf_integrate
+            self._model_from_vol = _model_from_vol
+            self._reset_vol = jax.jit(reset_volume, donate_argnums=(0,))
+
         self.pose_record: List[np.ndarray] = [np.eye(4, dtype=np.float32)]
         self.frame_count = 1
         self.frame_times_ms: List[float] = []
@@ -188,7 +230,7 @@ class KinFuSession:
             if self.keyframes is not None:
                 self.keyframes.maybe_add(self.frame_count, pose_m)
             if self.pose_graph:
-                pose_m = self._pose_graph_update(depth, pose_m)
+                pose_m = self._pose_graph_update(depth, color, pose_m)
         elif self.relocalizer is None:
             # reference-parity: the jitted step already reset device state
             self.pose_record = [np.eye(4, dtype=np.float32)]
@@ -206,7 +248,7 @@ class KinFuSession:
             self.pg_keyframes.keyframes.clear()
             self._pg_cooldown = 0
 
-    def _pose_graph_update(self, depth, pose_m: np.ndarray) -> np.ndarray:
+    def _pose_graph_update(self, depth, color, pose_m: np.ndarray) -> np.ndarray:
         """Keyframe bookkeeping + loop-closure detection/correction for one
         tracked frame. Returns the (possibly corrected) current pose."""
         from kinfu_tpu.geometry.se3 import pose_from_matrix
@@ -246,15 +288,23 @@ class KinFuSession:
                     self.pose_record = corrected
                     pose_m = new_cur
                     self.pose_record[cur_index] = new_cur
-                    self.state = (
-                        self.state._replace(
-                            kinfu=ks._replace(pose=pose_from_matrix(jnp.asarray(new_cur)))
+                    if self.loop_config.reintegrate_on_closure:
+                        # the MAP adopts the correction too: re-fuse the
+                        # stored keyframe frames at their optimized poses
+                        # (close_loop already updated kf.pose in place)
+                        self._rebuild_map(depth, color, new_cur)
+                    else:
+                        self.state = (
+                            self.state._replace(
+                                kinfu=ks._replace(
+                                    pose=pose_from_matrix(jnp.asarray(new_cur))
+                                )
+                            )
+                            if self.streaming
+                            else self.state._replace(
+                                pose=pose_from_matrix(jnp.asarray(new_cur))
+                            )
                         )
-                        if self.streaming
-                        else self.state._replace(
-                            pose=pose_from_matrix(jnp.asarray(new_cur))
-                        )
-                    )
                     self.loop_closures.append(
                         {
                             "frame": cur_index,
@@ -270,8 +320,43 @@ class KinFuSession:
             pose_m,
             vmaps=tuple(np.asarray(v) for v in ks.model_vmaps),
             nmaps=tuple(np.asarray(n) for n in ks.model_nmaps),
+            depth=np.asarray(depth),
+            color=np.asarray(color),
         )
         return pose_m
+
+    def _rebuild_map(self, depth, color, new_cur: np.ndarray) -> None:
+        """Re-integrate the stored keyframe frames (plus the current frame)
+        into a reset volume at their corrected poses, then rebuild the model
+        prediction maps by raycasting from the corrected current pose — so
+        post-closure tracking, extraction and PLY export are consistent with
+        the corrected trajectory. pose_graph excludes streaming, so
+        self.state is a plain KinFuState."""
+        ks = self.state
+        vol = self._reset_vol(ks.vol)
+        cur = jnp.asarray(new_cur, jnp.float32)
+        for kf in self.pg_keyframes.keyframes:
+            if kf.depth is None:
+                continue
+            vol = self._kf_integrate(
+                vol,
+                jnp.asarray(kf.depth, jnp.float32),
+                jnp.asarray(kf.color, jnp.uint8),
+                jnp.asarray(kf.pose, jnp.float32),
+            )
+        vol = self._kf_integrate(
+            vol,
+            jnp.asarray(depth, jnp.float32),
+            jnp.asarray(color, jnp.uint8),
+            cur,
+        )
+        mv, mn = self._model_from_vol(vol, cur)
+        self.state = ks._replace(
+            vol=vol,
+            model_vmaps=mv,
+            model_nmaps=mn,
+            pose=pose_from_matrix(cur),
+        )
 
     def _try_relocalize(self, depth, color):
         """Attempt to re-acquire the kept map from keyframe seed poses;

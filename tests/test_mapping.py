@@ -267,13 +267,17 @@ def test_loop_closure_corrects_drift():
         min_inlier_frac=0.05,
     )
 
-    ates = {}
+    ates, map_errs = {}, {}
     for pg in (False, True):
         sess = KinFuSession(intr, params, pose_graph=pg, loop_config=cfg)
         for d, c in frames:
             assert sess.pipeline(c, d)
         est = sess.pose_record
         ates[pg] = ate_rmse(est, gt[: len(est)])
+        # map-vs-truth: |scene sdf| of the extracted cloud (world frame ==
+        # scene frame since traj[0] = I)
+        pts = sess.extract_pointcloud()
+        map_errs[pg] = float(np.abs(scene.sdf(pts)).mean())
         if pg:
             assert len(sess.loop_closures) >= 1
             lc = sess.loop_closures[0]
@@ -282,3 +286,66 @@ def test_loop_closure_corrects_drift():
 
     # closure must cut the drift by at least 3x (measured ~13x)
     assert ates[True] < ates[False] / 3.0, ates
+    # the MAP must adopt the correction too (post-closure re-integration,
+    # mapping/loop_closure.py reintegrate_on_closure): the rebuilt map must
+    # be no farther from the true scene than the drifted one
+    assert map_errs[True] <= map_errs[False] * 1.05, map_errs
+
+
+def test_closure_rebuild_realigns_map():
+    """The post-closure map rebuild must move the GEOMETRY, not just the
+    reported poses: translating every keyframe pose by T and rebuilding
+    must translate the extracted cloud by T (VERDICT r4: previously only
+    poses moved and the TSDF kept the drifted surface)."""
+    from kinfu_tpu.data.synthetic import default_test_scene
+    from kinfu_tpu.mapping.loop_closure import LoopClosureConfig
+    from kinfu_tpu.pipeline.session import KinFuSession
+
+    intr = Intrinsics(width=96, height=72, fx=84.0, fy=84.0, cx=47.5, cy=35.5)
+    params = tiny_params(dim=64, levels=2).replace(
+        icp_iters=(3, 6), max_extracted_points=50_000
+    )
+    cfg = LoopClosureConfig(kf_min_translation=0.002, kf_min_rotation_deg=0.5)
+    scene = default_test_scene()
+    traj = []
+    for i in range(4):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.004 * i
+        traj.append(T)
+    frames = [scene.render_frame(T, intr) for T in traj]
+
+    sess = KinFuSession(intr, params, pose_graph=True, loop_config=cfg)
+    for d, c in frames:
+        assert sess.pipeline(c, d)
+    assert len(sess.pg_keyframes.keyframes) >= 2
+    assert all(k.depth is not None for k in sess.pg_keyframes.keyframes)
+    cloud0 = sess.extract_pointcloud().copy()
+
+    dx = 0.12
+    shift = np.eye(4, dtype=np.float64)
+    shift[0, 3] = dx
+    for kf in sess.pg_keyframes.keyframes:
+        kf.pose = (shift @ kf.pose.astype(np.float64)).astype(np.float32)
+    new_cur = (shift @ sess.pose_record[-1].astype(np.float64)).astype(
+        np.float32
+    )
+    d, c = frames[-1]
+    sess._rebuild_map(jnp.asarray(d), jnp.asarray(c), new_cur)
+    cloud1 = sess.extract_pointcloud()
+
+    # The re-observed PLANES largely self-overlap under a camera shift, so
+    # the discriminating geometry is the sphere: its fused surface must sit
+    # on the SHIFTED sphere, not the original one.
+    sph_c = np.array([0.45, -0.25, 1.7])
+    sph_r = 0.4
+
+    def on_sphere(pts, centre, band=0.03):
+        return int((np.abs(np.linalg.norm(pts - centre, axis=1) - sph_r) < band).sum())
+
+    assert on_sphere(cloud0, sph_c) > 200  # sanity: original map on original
+    n_shifted = on_sphere(cloud1, sph_c + [dx, 0, 0])
+    n_orig = on_sphere(cloud1, sph_c)
+    assert n_shifted > 200 and n_shifted > 2.5 * n_orig, (n_shifted, n_orig)
+    # post-rebuild state is self-consistent: the model maps come from the
+    # rebuilt volume at the corrected pose and keep tracking viable
+    assert (np.abs(np.asarray(sess.state.model_nmaps[0])).sum(-1) > 0).mean() > 0.2
