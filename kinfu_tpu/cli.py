@@ -93,6 +93,8 @@ def cmd_run(args) -> int:
 
     if args.dump_renders:
         os.makedirs(args.dump_renders, exist_ok=True)
+    if args.dump_3d:
+        os.makedirs(args.dump_3d, exist_ok=True)
 
     rec = MetricsRecorder(jsonl_path=args.metrics, echo=not args.quiet)
     n = len(ds) if args.frames is None else min(args.frames, len(ds))
@@ -131,6 +133,12 @@ def cmd_run(args) -> int:
                 os.path.join(d, f"{i:06d}_depth.png"),
                 np.asarray(depth).astype(np.uint16),
             )
+        if (
+            args.dump_3d
+            and args.dump_3d_every
+            and (i + 1) % args.dump_3d_every == 0
+        ):
+            sess.save_3d(os.path.join(args.dump_3d, f"{i:06d}_3d.png"))
         if args.checkpoint and args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             from kinfu_tpu.io.checkpoint import save_checkpoint
 
@@ -164,6 +172,10 @@ def cmd_run(args) -> int:
     if args.save_ply:
         sess.save_pointcloud(args.save_ply)
         print(f"pointcloud -> {args.save_ply}")
+    if args.dump_3d:
+        out3d = os.path.join(args.dump_3d, "3d_final.png")
+        sess.save_3d(out3d)
+        print(f"3d view -> {out3d}")
     if args.checkpoint:
         from kinfu_tpu.io.checkpoint import save_checkpoint
 
@@ -337,6 +349,16 @@ def main(argv=None) -> int:
     )
     rp.add_argument("--dump-every", type=int, default=5, metavar="N",
                     help="dump renders every N frames (default 5)")
+    rp.add_argument(
+        "--dump-3d",
+        default=None,
+        metavar="DIR",
+        help="write an offline 3D overview PNG (cloud + cube + trajectory "
+        "+ frustum — the headless analogue of the reference's cv::viz "
+        "window, main.cpp:82-86 / doc/3D.png)",
+    )
+    rp.add_argument("--dump-3d-every", type=int, default=0, metavar="N",
+                    help="also dump the 3D view every N frames (0 = final only)")
     rp.add_argument("--save-poses", default=None)
     rp.add_argument("--poses-format", choices=("ref", "tum"), default="ref")
     rp.add_argument("--save-ply", default=None)

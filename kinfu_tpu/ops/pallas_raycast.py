@@ -317,11 +317,15 @@ def _sweep_face_rays(
     row0f = row0.astype(jnp.float32)
 
     # ---- host-side (traced, vector jnp) work-list construction ----------
-    # 8^3-pooled "contains negative voxel" map + per-slab 2D SAT (LOCAL)
+    # 8^3-pooled "contains negative voxel" map + per-slab 2D SAT (LOCAL).
+    # Pooled axis-by-axis, minor dim first: the one-shot 6D
+    # reshape+reduce_min lowers to a 14.7 ms relayout+reduce on XLA:TPU at
+    # 512^3, the staged form to 0.63 ms (r5 trace + /tmp/pool_bench.py).
     Zc, Yc, Xc = Zl // 8, Yl // 8, Xp // 8
-    neg = (
-        tsdf_p.reshape(Zc, 8, Yc, 8, Xc, 8).min(axis=(1, 3, 5)) < 0
-    )  # [Zc, Yc, Xc]
+    pooled = tsdf_p.reshape(Zl, Yl, Xc, 8).min(axis=3)
+    pooled = pooled.reshape(Zl, Yc, 8, Xc).min(axis=2)
+    pooled = pooled.reshape(Zc, 8, Yc, Xc).min(axis=1)
+    neg = pooled < 0  # [Zc, Yc, Xc]
     sat = jnp.pad(
         jnp.cumsum(jnp.cumsum(neg.astype(jnp.int32), axis=1), axis=2),
         ((0, 0), (1, 0), (1, 0)),

@@ -205,6 +205,24 @@ class KinFuSession:
 
         self._extract = _extract
 
+        @jax.jit
+        def _extract_colored(state):
+            from kinfu_tpu.volume.extract import extract_points_colored
+
+            if streaming:
+                from kinfu_tpu.pipeline.streaming import _vol_pose_dyn
+
+                return extract_points_colored(
+                    state.kinfu.vol,
+                    _vol_pose_dyn(self.params, state.origin_vox),
+                    self.params,
+                )
+            return extract_points_colored(
+                state.vol, _volume_pose(self.params), self.params
+            )
+
+        self._extract_colored = _extract_colored
+
     # ------------------------------------------------------------------
     def pipeline(self, color_rgb: np.ndarray, depth_mm: np.ndarray) -> bool:
         """Process one frame; returns tracking success.
@@ -411,6 +429,45 @@ class KinFuSession:
             else self.extract_pointcloud()
         )
         write_ply(path, pts)
+
+    def extract_pointcloud_colored(self):
+        """(points [n,3], colors u8 [n,3]) — coloured variant of
+        extract_pointcloud (reference extracts xyz only)."""
+        pts, cols, count = self._extract_colored(self.state)
+        n = int(count)
+        return np.asarray(pts[:n]), np.asarray(cols[:n])
+
+    def render_3d(self, **kwargs) -> np.ndarray:
+        """Offline 3D overview (cloud + cube + trajectory + frustum) — the
+        headless analogue of the reference's cv::viz window
+        (main.cpp:82-86, doc/3D.png). kwargs pass through to
+        viz3d.render_3d_view (eye, target, width, height, ...)."""
+        from kinfu_tpu.pipeline.viz3d import render_3d_view
+
+        pts, cols = self.extract_pointcloud_colored()
+        if self.streaming:
+            from kinfu_tpu.pipeline.streaming import _vol_pose_dyn
+            from kinfu_tpu.geometry.se3 import pose_matrix
+
+            vol_pose_m = np.asarray(
+                pose_matrix(_vol_pose_dyn(self.params, self.state.origin_vox))
+            )
+        else:
+            vol_pose_m = np.asarray(self.params.volume_pose)
+        return render_3d_view(
+            pts,
+            colors=cols if len(cols) else None,
+            trajectory=self.pose_record,
+            cur_pose=self.pose_record[-1],
+            volume_pose=vol_pose_m,
+            volume_extent=self.params.volume_range,
+            **kwargs,
+        )
+
+    def save_3d(self, path: str, **kwargs) -> None:
+        from kinfu_tpu.io.images import write_color_png
+
+        write_color_png(path, self.render_3d(**kwargs))
 
     def save_poses(self, path: str) -> None:
         """Write the trajectory in the reference's poses.txt format

@@ -311,3 +311,40 @@ def test_color_band_parity():
         b = (wc[both] >> shift) & 0xFF
         match = np.abs(a.astype(int) - b.astype(int)) <= 8
         assert match.mean() > 0.9, f"shift {shift}: {match.mean()}"
+
+
+def test_build_face_pallas_matches_jnp():
+    """The Pallas stack builder (facewarp._build_face_pallas, production
+    TPU path) must reproduce the jnp gather + mip stack bit-exactly —
+    every mip pixel samples the camera frame at its strided face ray, so
+    the two paths run identical arithmetic."""
+    from kinfu_tpu.ops.facewarp import build_face
+
+    scene = default_test_scene()
+    frames = {f.name: f for f in face_frames()}
+    dims = (PARAMS.volume_dims[0],) * 3
+    vs = PARAMS.voxel_size
+    for deg, fname in ((0.0, "+z"), (35.0, "+z"), (55.0, "+x"), (180.0, "-z")):
+        T = _roty(deg, t=(0.1, -0.05, 0.2))
+        depth_mm, color = scene.render_frame(T, INTR)
+        depth_m = jnp.asarray(depth_mm) * 1e-3
+        color = jnp.asarray(color)
+        v2c = _vol2cam(T)
+        kw = dict(
+            frame=frames[fname], dims=dims, voxel_size=vs
+        )
+        ref = build_face(depth_m, color, v2c, INTR, SPEC, mode="jnp", **kw)
+        got = build_face(
+            depth_m, color, v2c, INTR, SPEC, mode="interpret", **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.range_mm), np.asarray(ref.range_mm),
+            err_msg=f"range mismatch at {deg} deg face {fname}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.color), np.asarray(ref.color),
+            err_msg=f"color mismatch at {deg} deg face {fname}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.centre), np.asarray(ref.centre)
+        )

@@ -109,9 +109,9 @@ def main():
 
         def prep_body(seed):
             Zc = Yc = Xc = args.dim // 8
-            neg = (
-                tsdf.reshape(Zc, 8, Yc, 8, Xc, 8).min(axis=(1, 3, 5)) < 0
-            )
+            m = tsdf.reshape(args.dim, args.dim, Xc, 8).min(axis=3)
+            m = m.reshape(args.dim, Yc, 8, Xc).min(axis=2)
+            neg = m.reshape(Zc, 8, Yc, Xc).min(axis=1) < 0
             sat = jnp.pad(
                 jnp.cumsum(jnp.cumsum(neg.astype(jnp.int32), 1), 2),
                 ((0, 0), (1, 0), (1, 0)),
