@@ -498,17 +498,22 @@ def _face_fields(hit, back, origin_p, spec: RaySpec):
     vz = origin_p[2] + t_s
     v = jnp.stack([vx, vy, vz], axis=-1)  # [F,F,3]
 
+    # +-1 central differences on the 3x3-smoothed t field. The r4 build
+    # used +-2 differences, whose 4-neighbour validity rule zeroed normals
+    # in a 2-px dead band around every silhouette — the dominant term of
+    # the hit-mask divergence vs the jnp march (DIVERGENCES.md item 20)
+    # and the black speckle ring in the Phong renders.
     okf = ok
-    ok_r = sh(okf, 0, 2) & sh(okf, 0, -2) & sh(okf, 2, 0) & sh(okf, -2, 0) & okf
-    du = sh(v, 0, 2) - sh(v, 0, -2)
-    dv = sh(v, 2, 0) - sh(v, -2, 0)
+    ok_r = sh(okf, 0, 1) & sh(okf, 0, -1) & sh(okf, 1, 0) & sh(okf, -1, 0) & okf
+    du = sh(v, 0, 1) - sh(v, 0, -1)
+    dv = sh(v, 1, 0) - sh(v, -1, 0)
     n = jnp.cross(du, dv)
     # depth-discontinuity rejection (relative, like frontend normals)
     tmag = jnp.maximum(t, 1e-6)
     disc = jnp.maximum(
-        jnp.abs(sh(t, 0, 2) - sh(t, 0, -2)), jnp.abs(sh(t, 2, 0) - sh(t, -2, 0))
+        jnp.abs(sh(t, 0, 1) - sh(t, 0, -1)), jnp.abs(sh(t, 1, 0) - sh(t, -1, 0))
     )
-    ok_n = ok_r & (disc < 0.1 * tmag)
+    ok_n = ok_r & (disc < 0.05 * tmag)
     nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
     ok_n = ok_n & (nn[..., 0] > 1e-20)
     n = n / jnp.maximum(nn, 1e-30)
@@ -519,7 +524,31 @@ def _face_fields(hit, back, origin_p, spec: RaySpec):
     flip = jnp.sum(n * d3, axis=-1) > 0
     sign = 1.0 - 2.0 * flip.astype(jnp.float32)
     n = n * sign[..., None] * ok_n[..., None].astype(jnp.float32)
-    return t, n, ok_n
+
+    # Silhouette fill (DIVERGENCES.md item 20 mitigation), two rings:
+    #   1. rim pixels WITH a hit but no valid normal (one-sided
+    #      neighbourhood) adopt the 3x3 average of valid normals;
+    #   2. pixels WITHOUT a hit but with >= 1 hit neighbour adopt the
+    #      neighbourhood-average hit + averaged normal — closes the 1-px
+    #      resample holes that deleted ICP correspondences and speckled
+    #      the Phong renders.
+    # Selects here pick between computed finite values / +-INF constants,
+    # never broadcast zeros (the miscompiling form — see the masking note
+    # above).
+    nsum = jnp.zeros_like(n)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            nsum = nsum + sh(n, di, dj)
+    nsn = jnp.linalg.norm(nsum, axis=-1, keepdims=True)
+    n_fill = nsum / jnp.maximum(nsn, 1e-30)
+    usable = nsn[..., 0] > 1e-20
+    rim = ok & (~ok_n) & usable
+    n = jnp.where(rim[..., None], n_fill, n)
+    t_avg = tsum / jnp.maximum(wsum, 1.0)
+    fill = (~ok) & (wsum > 0.5) & usable
+    t = jnp.where(fill, t_avg, t)
+    n = jnp.where(fill[..., None], n_fill, n)
+    return t, n, ok_n | rim | fill
 
 
 def _resample_kernel(

@@ -107,7 +107,7 @@ def _reference(vol, cam2vol):
     return np.asarray(vm), np.asarray(nm)
 
 
-def _compare(vol, cam2vol, min_agree=0.92, dv_med_mm=12.0, nang_med_deg=13.0,
+def _compare(vol, cam2vol, min_agree=0.97, dv_med_mm=12.0, nang_med_deg=8.0,
              cache_key=None):
     vm_r, nm_r = _reference(vol, cam2vol)
     vm_w, nm_w = _warped(vol, cam2vol, cache_key=cache_key)
