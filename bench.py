@@ -68,6 +68,14 @@ def main():
         "--raycast", default="auto", choices=["auto", "warped", "hier", "step"]
     )
     ap.add_argument("--icp", default="auto", choices=["auto", "warped", "gather"])
+    ap.add_argument(
+        "--corner",
+        action="store_true",
+        help="yaw the orbit ~50 deg so every frame's frustum straddles the "
+        "+z/+x cube edge and the fused step takes the multi-face CHAIN "
+        "branch — measures the rare-branch latency "
+        "(tools/hw_bisect.py --corner is the correctness probe)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -103,8 +111,14 @@ def main():
     )
 
     n_small, n_big = args.warmup, args.warmup + args.frames
-    scene = default_test_scene()
     traj = make_orbit_trajectory(n_big, angle_step_deg=0.3)
+    if args.corner:
+        from kinfu_tpu.data.synthetic import corner_test_scene, yaw_trajectory
+
+        scene = corner_test_scene()
+        traj = yaw_trajectory(traj)
+    else:
+        scene = default_test_scene()
     rendered = [scene.render_frame(T, intr) for T in traj]
     depths = jnp.asarray(np.stack([d for d, _ in rendered]))
     colors = jnp.asarray(np.stack([c for _, c in rendered]))
@@ -145,7 +159,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"ms_per_frame_{args.width}x{args.height}_{args.dim}^3",
+                "metric": f"ms_per_frame_{args.width}x{args.height}_{args.dim}^3"
+                + ("_corner" if args.corner else ""),
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(baseline_ms / ms, 3),

@@ -114,7 +114,7 @@ class FaceFrame(NamedTuple):
     gt_y: bool
 
 
-def face_frames() -> Tuple[FaceFrame, ...]:
+def face_frames(shard_dim: int | None = None) -> Tuple[FaceFrame, ...]:
     """The six cube-map sweep frames.
 
     Exclusive voxel ownership (z>y>x priority on ties):
@@ -122,8 +122,18 @@ def face_frames() -> Tuple[FaceFrame, ...]:
       y owns iff |dy| >  |dz| and |dy| >= |dx|
       x owns iff |dx| >  |dz| and |dx| >  |dy|
     expressed in each face's primed axes via (gt_x, gt_y).
+
+    `shard_dim` selects the primed-axis assignment for mesh-sharded
+    volumes (parallel/sharded.py): the sharded NATURAL array dim must land
+    on a primed PLANE or ROW axis of every face — never the lane axis,
+    whose 128-tiling the kernels cannot shard. dim 0 (volume Z, default)
+    is satisfied by the standard frames; dim 1 (volume Y) swaps the +-x
+    faces' primed x'/y' axes so rows carry Y instead of lanes
+    ((2,1,0): x'=z, y'=y — the ownership inequalities are unchanged, both
+    comparisons strict, so the exclusive partition is identical).
     """
     ex, ey, ez = np.eye(3, dtype=np.float32)
+    y_sharded = shard_dim == 1
     out = []
     for sign in (1.0, -1.0):
         s = "+" if sign > 0 else "-"
@@ -136,14 +146,22 @@ def face_frames() -> Tuple[FaceFrame, ...]:
             FaceFrame(f"{s}y", np.stack([ex, ez, sign * ey]), (1, 0, 2),
                       sign < 0, gt_x=False, gt_y=True)
         )
-        out.append(
-            FaceFrame(f"{s}x", np.stack([ey, ez, sign * ex]), (2, 0, 1),
-                      sign < 0, gt_x=True, gt_y=True)
-        )
+        if y_sharded:
+            out.append(
+                FaceFrame(f"{s}x", np.stack([ez, ey, sign * ex]), (2, 1, 0),
+                          sign < 0, gt_x=True, gt_y=True)
+            )
+        else:
+            out.append(
+                FaceFrame(f"{s}x", np.stack([ey, ez, sign * ex]), (2, 0, 1),
+                          sign < 0, gt_x=True, gt_y=True)
+            )
     return tuple(out)
 
 
-def warp_dims_ok(shape_zyx: Tuple[int, int, int]) -> bool:
+def warp_dims_ok(
+    shape_zyx: Tuple[int, int, int], shard_dim: int | None = None
+) -> bool:
     """True when every cube-face sweep's PRIMED dims satisfy the Pallas
     tiling constraints, so the warped integrate/raycast kernels can run
     with faces="auto" (which traces all six sweeps — one bad face trips a
@@ -155,8 +173,9 @@ def warp_dims_ok(shape_zyx: Tuple[int, int, int]) -> bool:
       - Yp % 8 == 0  (8-row gather windows, integrate + raycast)
       - Xp % 128 == 0 (lane chunks)
     The dispatchers (volume/integrate.py, volume/raycast.py) fall back to
-    the jnp paths when this returns False."""
-    for fr in face_frames():
+    the jnp paths when this returns False. `shard_dim` selects the sharded
+    frame set (face_frames)."""
+    for fr in face_frames(shard_dim):
         Zp, Yp, Xp = (shape_zyx[a] for a in fr.axes)
         if Zp % 8 or Yp % 8 or Xp % 128:
             return False

@@ -155,6 +155,13 @@ def fused_update(
     code = jnp.where(nset == 1, jnp.argmax(flag_vec), len(frames))
     code = jnp.where(good, code, len(frames) + 1)
 
+    # Every branch's volume outputs pass through pin_natural: XLA assigns
+    # ONE layout per switch result across branches, and without the pin it
+    # chose the layout that made a never-executed transposing branch free
+    # while taxing the hot branch + scan carry with ~7 ms/frame of
+    # full-volume relayout copies (ops/layout_pin.py).
+    from kinfu_tpu.ops.layout_pin import pin_natural
+
     def single(fr):
         def branch(a):
             arrs = (a[0], a[1], a[2])
@@ -162,7 +169,7 @@ def fused_update(
                 arrs = pre(arrs)
             t, wgt, c = sweep(arrs, fr)
             acc = ray_face(acc0, t, fr)
-            return t, wgt, c, *acc, a[3]
+            return *pin_natural(t, wgt, c), *acc, a[3]
 
         return branch
 
@@ -185,7 +192,7 @@ def fused_update(
                 lambda x: x,
                 acc,
             )
-        return (*arrs, *acc, a[3])
+        return (*pin_natural(*arrs), *acc, a[3])
 
     def fail(a):
         # reset (kinectfusion.cpp:97-102) or keep-for-relocalizer, selected
@@ -194,9 +201,11 @@ def fused_update(
         # failure frames
         k16 = jnp.asarray(jnp.logical_not(reset_on_fail), jnp.int16)
         return (
-            a[0] * k16,
-            a[1] * k16,
-            a[2] * k16.astype(jnp.int32),
+            *pin_natural(
+                a[0] * k16,
+                a[1] * k16,
+                a[2] * k16.astype(jnp.int32),
+            ),
             *acc0,
             a[3],
         )
@@ -216,9 +225,13 @@ def fused_update(
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
     valid_f = valid.astype(jnp.float32)[..., None]
-    vol_n = TSDFVolume(
-        tsdf=tsdf_n,
-        weight=weight_n,
-        color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
+    # pin the u32 view too: without it the scan carry adopts a transposed
+    # layout for the colour volume and the u32<->i32 bitcasts around the
+    # switch become ~1.6 ms relayout copies each (r5 trace)
+    from kinfu_tpu.ops.layout_pin import pin_natural
+
+    (col_u32,) = pin_natural(
+        jax.lax.bitcast_convert_type(col_n, jnp.uint32)
     )
+    vol_n = TSDFVolume(tsdf=tsdf_n, weight=weight_n, color=col_u32)
     return vol_n, vcam * valid_f, ncam * valid_f, aux_out

@@ -521,6 +521,7 @@ def integrate_warped(
     spec: FaceSpec | None = None,
     interpret: bool | None = None,
     faces: str | tuple = "auto",
+    shard_dim: int | None = None,
 ) -> TSDFVolume:
     """Fuse one frame via face-warp + separable Pallas sweeps.
 
@@ -536,7 +537,7 @@ def integrate_warped(
         interpret = jax.default_backend() == "cpu"
     Z, Y, X = vol.tsdf.shape
 
-    frames = {f.name: f for f in face_frames()}
+    frames = {f.name: f for f in face_frames(shard_dim)}
     col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
     arrays = (vol.tsdf, vol.weight, col_i32)
 
@@ -563,8 +564,13 @@ def integrate_warped(
         nset = jnp.sum(flag_vec.astype(jnp.int32))
         code = jnp.where(nset == 1, jnp.argmax(flag_vec), len(names))
 
+        # branch roots pass through pin_natural so the switch result keeps
+        # the row-major layout regardless of which branches transpose
+        # internally (ops/layout_pin.py)
+        from kinfu_tpu.ops.layout_pin import pin_natural
+
         def single(fr):
-            return lambda a: sweep(*a, fr)
+            return lambda a: pin_natural(*sweep(*a, fr))
 
         def chain(a):
             for name in names:
@@ -574,7 +580,7 @@ def integrate_warped(
                     lambda x: x,
                     a,
                 )
-            return a
+            return pin_natural(*a)
 
         arrays = jax.lax.switch(
             code, [single(frames[n]) for n in names] + [chain], arrays

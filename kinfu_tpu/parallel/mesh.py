@@ -29,9 +29,12 @@ def make_mesh(n_shards: Optional[int] = None, devices: Optional[Sequence] = None
     return Mesh(np.asarray(devices[:n_shards]), (VOLUME_AXIS,))
 
 
-def volume_sharding(mesh: Mesh) -> NamedSharding:
-    """[Z, Y, X] volume arrays shard along Z."""
-    return NamedSharding(mesh, P(VOLUME_AXIS, None, None))
+def volume_sharding(mesh: Mesh, shard_dim: int = 0) -> NamedSharding:
+    """[Z, Y, X] volume arrays shard along dim `shard_dim` (0 = Z,
+    1 = Y — see parallel/sharded.py for the load-balance trade-off)."""
+    spec = [None, None, None]
+    spec[shard_dim] = VOLUME_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -56,19 +56,28 @@ HALO = 3  # voxel rows: march samples reach +-2.5 rows past the owned slab
 # +-1.5 — 3 covers the worst case at |dir_z| = 1.
 
 
-def halo_exchange_z(x: jnp.ndarray, axis_name: str = VOLUME_AXIS, halo: int = HALO):
-    """Pad a local [Zl, Y, X] slab with `halo` rows from each Z-neighbour.
+def halo_exchange_z(
+    x: jnp.ndarray,
+    axis_name: str = VOLUME_AXIS,
+    halo: int = HALO,
+    dim: int = 0,
+):
+    """Pad a local slab with `halo` rows from each mesh neighbour along
+    array dim `dim` (0 = volume Z, the default sharding; 1 = volume Y).
 
     Boundary shards receive zero rows (outside the global volume these are
     never sampled — the 1-voxel global border rule masks them)."""
     n = jax.lax.axis_size(axis_name)
+    L = x.shape[dim]
+    last = jax.lax.slice_in_dim(x, L - halo, L, axis=dim)
+    first = jax.lax.slice_in_dim(x, 0, halo, axis=dim)
     below = jax.lax.ppermute(  # my last rows -> next shard's leading halo
-        x[-halo:], axis_name, perm=[(i, i + 1) for i in range(n - 1)]
+        last, axis_name, perm=[(i, i + 1) for i in range(n - 1)]
     )
     above = jax.lax.ppermute(  # my first rows -> previous shard's trailing halo
-        x[:halo], axis_name, perm=[(i + 1, i) for i in range(n - 1)]
+        first, axis_name, perm=[(i + 1, i) for i in range(n - 1)]
     )
-    return jnp.concatenate([below, x, above], axis=0)
+    return jnp.concatenate([below, x, above], axis=dim)
 
 
 def _local_t_interval(org_z, dir_z, z_lo, z_hi, t_start, t_end, step):
@@ -176,17 +185,19 @@ def _ray_face_local(
     params: KinFuParams,
     spec,
     interpret: bool,
-    Zg: int,
-    Zl: int,
-    z0,
+    Lg: int,
+    Ll: int,
+    off0,
     axis_name: str,
+    shard_dim: int = 0,
 ):
-    """One cube-face plane-sweep raycast pass over a halo-padded Z-shard,
-    min-composited over the mesh; accumulates into `a` = (vertex, normal,
-    valid) in VOLUME coordinates. Runs the SAME Pallas sweep kernel as the
-    single-chip warped raycast (ops/pallas_raycast.py) — the kernel takes
-    the shard's global plane/row offsets as traced scalars. Shading /
-    resample run replicated on every device. Call inside shard_map."""
+    """One cube-face plane-sweep raycast pass over a halo-padded shard
+    (sharded along array dim `shard_dim`), min-composited over the mesh;
+    accumulates into `a` = (vertex, normal, valid) in VOLUME coordinates.
+    Runs the SAME Pallas sweep kernel as the single-chip warped raycast
+    (ops/pallas_raycast.py) — the kernel takes the shard's global
+    plane/row offsets as traced scalars. Shading / resample run replicated
+    on every device. Call inside shard_map."""
     from kinfu_tpu.ops.pallas_raycast import (
         _face_fields,
         _prime_geometry,
@@ -196,27 +207,32 @@ def _ray_face_local(
 
     R, tt = cam2vol
     org = tt
-    Y, X = padded.shape[1], padded.shape[2]
 
     D, off, vs_p = _prime_geometry(frame, params)
     org_p = D @ org + off
     prim = jnp.transpose(padded, frame.axes)
     if frame.flip:
         prim = jnp.flip(prim, axis=0)
-    dims_g = tuple((Zg, Y, X)[ax] for ax in frame.axes)  # primed GLOBAL dims
+    # primed GLOBAL dims: the sharded natural dim has global extent Lg;
+    # the other two match the (unpadded there) local buffer
+    nat_g = tuple(
+        Lg if i == shard_dim else padded.shape[i] for i in range(3)
+    )
+    dims_g = tuple(nat_g[ax] for ax in frame.axes)
 
-    # which primed axis carries the volume-Z shard?
-    z_axis_pos = frame.axes.index(0)
-    if z_axis_pos == 0:  # plane-sharded (+-z faces)
+    # which primed axis carries the sharded natural dim? (face_frames
+    # guarantees plane or row, never lanes, for the shard_dim in use)
+    pos = frame.axes.index(shard_dim)
+    if pos == 0:  # plane-sharded (sweep axis == shard axis)
         if frame.flip:
-            plane0 = Zg - (z0 + Zl + HALO8)
+            plane0 = Lg - (off0 + Ll + HALO8)
         else:
-            plane0 = z0 - HALO8
+            plane0 = off0 - HALO8
         row0 = jnp.asarray(0, jnp.int32)
-    else:  # row-sharded (+-y / +-x faces); flip acts on the plane axis
-        assert z_axis_pos == 1, frame.name
+    else:  # row-sharded; flip acts on the plane axis
+        assert pos == 1, (frame.name, shard_dim)
         plane0 = jnp.asarray(0, jnp.int32)
-        row0 = z0 - HALO8
+        row0 = off0 - HALO8
 
     hit, back = _sweep_face_rays(
         prim, org_p, vs_p, spec, interpret,
@@ -261,8 +277,10 @@ def sharded_raycast_warped(
     params: KinFuParams,
     axis_name: str = VOLUME_AXIS,
     interpret: bool | None = None,
+    shard_dim: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Cube-face plane-sweep raycast over a Z-sharded volume.
+    """Cube-face plane-sweep raycast over a mesh-sharded volume (sharded
+    along array dim `shard_dim`: 0 = volume Z, 1 = volume Y).
 
     Per-face sweeps run on each shard's halo-padded slab and min-composite
     (hit_t, back_t) across the mesh with a pmin (events duplicated in the
@@ -279,12 +297,12 @@ def sharded_raycast_warped(
     R, tt = cam2vol
     org = tt
 
-    Zl, Y, X = tsdf_local.shape
+    Ll = tsdf_local.shape[shard_dim]
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    Zg = Zl * n
-    z0 = idx * Zl
-    padded = halo_exchange_z(tsdf_local, axis_name, halo=HALO8)
+    Lg = Ll * n
+    off0 = idx * Ll
+    padded = halo_exchange_z(tsdf_local, axis_name, halo=HALO8, dim=shard_dim)
 
     acc = (
         jnp.zeros((h, w, 3), jnp.float32),
@@ -295,11 +313,11 @@ def sharded_raycast_warped(
     def run_face(a, frame):
         return _ray_face_local(
             a, frame, padded, cam2vol, intr, params, spec, interpret,
-            Zg, Zl, z0, axis_name,
+            Lg, Ll, off0, axis_name, shard_dim,
         )
 
     flags = _faces_needed(cam2vol, intr)
-    frames_all = list(face_frames())
+    frames_all = list(face_frames(shard_dim or None))
     # single-face switch dispatch (same rationale as raycast_warped: the
     # cond chain stages the volume operand ~15 ms/frame at 512^3)
     flag_vec = jnp.stack([flags[fr.name] for fr in frames_all])
@@ -332,7 +350,10 @@ def sharded_raycast_warped(
 
 
 def fused_supported_local(
-    local_shape: Tuple[int, int, int], n_devices: int, params: KinFuParams
+    local_shape: Tuple[int, int, int],
+    n_devices: int,
+    params: KinFuParams,
+    shard_dim: int = 0,
 ) -> bool:
     """True when the sharded fused one-switch update can serve this
     configuration (mirrors ops.fused_step.fused_supported: both warped
@@ -341,14 +362,18 @@ def fused_supported_local(
 
     if params.fused_mode == "off":
         return False
-    Zl, Y, X = local_shape
+    global_shape = tuple(
+        s * n_devices if i == shard_dim else s
+        for i, s in enumerate(local_shape)
+    )
     modes_ok = params.integrate_mode in ("auto", "warped") and (
         params.raycast_mode in ("auto", "warped")
     )
+    sd = shard_dim or None
     ok = (
         modes_ok
-        and warp_dims_ok((Zl * n_devices, Y, X))
-        and warp_dims_ok(local_shape)
+        and warp_dims_ok(global_shape, sd)
+        and warp_dims_ok(local_shape, sd)
     )
     if params.fused_mode == "on":  # force (interpret-mode Pallas off-TPU)
         return ok
@@ -368,6 +393,7 @@ def fused_update_local(
     axis_name: str = VOLUME_AXIS,
     interpret: bool | None = None,
     aux=None,
+    shard_dim: int = 0,
 ):
     """Sharded one-switch volume update (per-device; call inside shard_map).
 
@@ -401,19 +427,23 @@ def fused_update_local(
     R = jnp.where(jnp.isfinite(R), R, jnp.eye(3, dtype=R.dtype))
     org = jnp.where(jnp.isfinite(tt), tt, 0.0)
 
-    Zl, Y, X = vol.tsdf.shape
+    Ll = vol.tsdf.shape[shard_dim]
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    Zg = Zl * n
-    z0 = idx * Zl
+    Lg = Ll * n
+    off0 = idx * Ll
 
     # fold the shard origin into the integrate pose so the local sweep is
-    # exactly the global one (volume/integrate.py z_offset rationale)
-    zoff_m = jnp.asarray(z_offset, jnp.float32) * params.voxel_size[2]
+    # exactly the global one (volume/integrate.py z_offset rationale);
+    # natural array dim 0 = volume z (xyz axis 2), dim 1 = volume y
+    xyz_axis = 2 - shard_dim
+    zoff_m = (
+        jnp.asarray(z_offset, jnp.float32) * params.voxel_size[xyz_axis]
+    )
     Ri, ti = vol2cam
-    vol2cam_local = Pose(Ri, ti + Ri[:, 2] * zoff_m)
+    vol2cam_local = Pose(Ri, ti + Ri[:, xyz_axis] * zoff_m)
 
-    frames = list(face_frames())
+    frames = list(face_frames(shard_dim or None))
     col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
 
     def sweep(arrays, fr):
@@ -438,7 +468,7 @@ def fused_update_local(
     def ray_face(acc, padded, fr):
         return _ray_face_local(
             acc, fr, padded, cam2vol, intr, params, rspec, interpret,
-            Zg, Zl, z0, axis_name,
+            Lg, Ll, off0, axis_name, shard_dim,
         )
 
     flags = faces_needed(vol2cam, intr)  # rotation-only: same on every shard
@@ -447,12 +477,18 @@ def fused_update_local(
     code = jnp.where(nset == 1, jnp.argmax(flag_vec), len(frames))
     code = jnp.where(good, code, len(frames) + 1)
 
+    # pin_natural anchors every branch's volume outputs to the row-major
+    # layout — see ops/fused_step.py / ops/layout_pin.py (conditional
+    # result layouts are shared across branches; the transposing face
+    # branches otherwise tax the hot branch with relayout copies)
+    from kinfu_tpu.ops.layout_pin import pin_natural
+
     def single(fr):
         def branch(a):
             t, wgt, c = sweep((a[0], a[1], a[2]), fr)
-            padded = halo_exchange_z(t, axis_name, halo=HALO8)
+            padded = halo_exchange_z(t, axis_name, halo=HALO8, dim=shard_dim)
             acc = ray_face(acc0, padded, fr)
-            return t, wgt, c, *acc, a[3]
+            return *pin_natural(t, wgt, c), *acc, a[3]
 
         return branch
 
@@ -465,7 +501,7 @@ def fused_update_local(
                 lambda x: x,
                 arrs,
             )
-        padded = halo_exchange_z(arrs[0], axis_name, halo=HALO8)
+        padded = halo_exchange_z(arrs[0], axis_name, halo=HALO8, dim=shard_dim)
         acc = acc0
         for fr in frames:
             acc = jax.lax.cond(
@@ -474,15 +510,17 @@ def fused_update_local(
                 lambda x: x,
                 acc,
             )
-        return (*arrs, *acc, a[3])
+        return (*pin_natural(*arrs), *acc, a[3])
 
     def fail(a):
         # kinectfusion.cpp:97-102 reset; collective-free is consistent
         # because every device takes this same branch (code is replicated)
         return (
-            jnp.zeros_like(a[0]),
-            jnp.zeros_like(a[1]),
-            jnp.zeros_like(a[2]),
+            *pin_natural(
+                jnp.zeros_like(a[0]),
+                jnp.zeros_like(a[1]),
+                jnp.zeros_like(a[2]),
+            ),
             *acc0,
             a[3],
         )
@@ -500,11 +538,10 @@ def fused_update_local(
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
     valid_f = valid.astype(jnp.float32)[..., None]
-    vol_n = TSDFVolume(
-        tsdf=tsdf_n,
-        weight=weight_n,
-        color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
+    (col_u32,) = pin_natural(
+        jax.lax.bitcast_convert_type(col_n, jnp.uint32)
     )
+    vol_n = TSDFVolume(tsdf=tsdf_n, weight=weight_n, color=col_u32)
     return vol_n, vcam * valid_f, ncam * valid_f, aux_out
 
 
@@ -532,12 +569,18 @@ def kinfu_step_local(
     params: KinFuParams,
     intr: Intrinsics,
     axis_name: str = VOLUME_AXIS,
+    shard_dim: int = 0,
 ) -> Tuple[KinFuState, StepOutput]:
     """Per-device body of the sharded per-frame step (mirrors
-    pipeline.kinfu.kinfu_step; runs inside shard_map)."""
+    pipeline.kinfu.kinfu_step; runs inside shard_map). `shard_dim` selects
+    the sharded volume array dim: 0 = Z (default), 1 = Y — Y-sharding
+    balances the surface band across shards for any camera whose view
+    axis is not near volume Y (the Z-sharded layout concentrates the band
+    in few Z-slabs, capping scaling efficiency — tools/PERF_NOTES.md
+    1024^3 north-star)."""
     vol_pose = _volume_pose(params)
-    Zl = state.vol.tsdf.shape[0]
-    z_offset = jax.lax.axis_index(axis_name) * Zl
+    Ll = state.vol.tsdf.shape[shard_dim]
+    z_offset = jax.lax.axis_index(axis_name) * Ll
 
     dmaps, vmaps, nmaps = build_measurement_pyramid(
         depth_mm,
@@ -578,7 +621,7 @@ def kinfu_step_local(
     vol2cam = compose(inverse(new_pose), vol_pose)
     cam2vol = compose(inverse(vol_pose), new_pose)
     if fused_supported_local(
-        state.vol.tsdf.shape, jax.lax.axis_size(axis_name), params
+        state.vol.tsdf.shape, jax.lax.axis_size(axis_name), params, shard_dim
     ):
         # integrate + halo exchange + raycast + failure reset in ONE
         # lax.switch — the volume shard crosses a single conditional
@@ -596,6 +639,7 @@ def kinfu_step_local(
             z_offset,
             axis_name,
             aux=(tuple(vmaps), tuple(nmaps)),
+            shard_dim=shard_dim,
         )
         vmaps_t, nmaps_t = aux
         mv, mn = _model_pyramid(rv, rn, params.pyramid_height)
@@ -606,13 +650,19 @@ def kinfu_step_local(
         def fuse(vol):
             vol = integrate(
                 vol, dmaps[0], color_rgb, vol2cam, intr, params,
-                z_offset=z_offset,
+                z_offset=z_offset, shard_dim=shard_dim,
             )
             from kinfu_tpu.ops.facewarp import warp_dims_ok
 
-            Zl_ = vol.tsdf.shape[0]
-            Zg_ = Zl_ * jax.lax.axis_size(axis_name)
-            warp_ok = warp_dims_ok((Zg_,) + vol.tsdf.shape[1:]) and Zl_ % 8 == 0
+            nn = jax.lax.axis_size(axis_name)
+            gshape = tuple(
+                s * nn if i == shard_dim else s
+                for i, s in enumerate(vol.tsdf.shape)
+            )
+            warp_ok = (
+                warp_dims_ok(gshape, shard_dim or None)
+                and vol.tsdf.shape[shard_dim] % 8 == 0
+            )
             mode = params.raycast_mode
             if mode == "auto":
                 mode = (
@@ -622,9 +672,15 @@ def kinfu_step_local(
                 )
             if mode == "warped" and warp_ok:
                 rv, rn = sharded_raycast_warped(
-                    vol.tsdf, cam2vol, intr, params, axis_name
+                    vol.tsdf, cam2vol, intr, params, axis_name,
+                    shard_dim=shard_dim,
                 )
             else:
+                if shard_dim != 0:
+                    raise NotImplementedError(
+                        "Y-sharding requires the warped raycast path "
+                        "(volume dims must satisfy warp_dims_ok)"
+                    )
                 rv, rn = sharded_raycast(
                     vol.tsdf, cam2vol, intr, params, axis_name
                 )
@@ -665,12 +721,11 @@ def kinfu_step_local(
     return new_state, out
 
 
-def _state_specs(params: KinFuParams) -> KinFuState:
-    vol_spec = TSDFVolume(
-        tsdf=P(VOLUME_AXIS, None, None),
-        weight=P(VOLUME_AXIS, None, None),
-        color=P(VOLUME_AXIS, None, None),
-    )
+def _state_specs(params: KinFuParams, shard_dim: int = 0) -> KinFuState:
+    spec = [None, None, None]
+    spec[shard_dim] = VOLUME_AXIS
+    vol_p = P(*spec)
+    vol_spec = TSDFVolume(tsdf=vol_p, weight=vol_p, color=vol_p)
     return KinFuState(
         vol=vol_spec,
         pose=Pose(P(), P()),
@@ -680,12 +735,19 @@ def _state_specs(params: KinFuParams) -> KinFuState:
     )
 
 
-def make_sharded_step_fn(params: KinFuParams, intr: Intrinsics, mesh: Mesh):
-    """Jitted mesh-sharded per-frame step with donated volume state."""
-    state_spec = _state_specs(params)
+def make_sharded_step_fn(
+    params: KinFuParams, intr: Intrinsics, mesh: Mesh, shard_dim: int = 0
+):
+    """Jitted mesh-sharded per-frame step with donated volume state.
+
+    `shard_dim`: 0 shards the volume along Z (default), 1 along Y — see
+    kinfu_step_local for the load-balance rationale."""
+    state_spec = _state_specs(params, shard_dim)
     out_spec = StepOutput(pose_matrix=P(), tracking_ok=P(), icp_inliers=P())
 
-    body = functools.partial(kinfu_step_local, params=params, intr=intr)
+    body = functools.partial(
+        kinfu_step_local, params=params, intr=intr, shard_dim=shard_dim
+    )
     mapped = shard_map(
         body,
         mesh=mesh,
@@ -696,10 +758,12 @@ def make_sharded_step_fn(params: KinFuParams, intr: Intrinsics, mesh: Mesh):
     return jax.jit(mapped, donate_argnums=(0,))
 
 
-def shard_state(state: KinFuState, mesh: Mesh) -> KinFuState:
-    """Place a host-built state onto the mesh (volume Z-sharded, rest
-    replicated)."""
-    vs = volume_sharding(mesh)
+def shard_state(
+    state: KinFuState, mesh: Mesh, shard_dim: int = 0
+) -> KinFuState:
+    """Place a host-built state onto the mesh (volume sharded along
+    `shard_dim`, rest replicated)."""
+    vs = volume_sharding(mesh, shard_dim)
     rep = NamedSharding(mesh, P())
     vol = jax.tree.map(lambda x: jax.device_put(x, vs), state.vol)
     rest = jax.tree.map(

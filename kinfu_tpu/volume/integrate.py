@@ -54,14 +54,16 @@ def integrate(
     intr: Intrinsics,
     params: KinFuParams,
     z_offset: jnp.ndarray | int = 0,
+    shard_dim: int = 0,
 ) -> TSDFVolume:
     """Fuse one (depth [H,W] metres, color [H,W,3] u8) observation.
 
     `vol2cam` maps volume coordinates to the camera frame
     (camera_pose^-1 * volume_pose, tsdf_volume.cpp:50). `z_offset` is the
-    global z index of vol's first slab — nonzero when `vol` is one Z-shard
-    of a mesh-distributed volume (kinfu_tpu/parallel/): integration is
-    embarrassingly parallel across shards.
+    global index of vol's first slab along the sharded NATURAL array dim
+    `shard_dim` (0 = volume Z, 1 = volume Y) — nonzero when `vol` is one
+    shard of a mesh-distributed volume (kinfu_tpu/parallel/): integration
+    is embarrassingly parallel across shards.
 
     Dispatches on `params.integrate_mode`: the separable face-warp Pallas
     kernel when requested (and the shape supports it), else the per-voxel
@@ -75,18 +77,27 @@ def integrate(
     # volumes fall back cleanly instead of tripping a trace-time assert)
     from kinfu_tpu.ops.facewarp import warp_dims_ok
 
-    if mode == "warped" and warp_dims_ok(vol.tsdf.shape):
+    if mode == "warped" and warp_dims_ok(vol.tsdf.shape, shard_dim or None):
         from kinfu_tpu.ops.pallas_integrate import integrate_warped
 
-        # A Z-shard fuses in its LOCAL frame: global voxel position is
-        # p_local + (0, 0, z_offset*vsz), and every quantity in the sweep
-        # depends on p - camera_centre only, so shifting the camera by the
-        # shard origin makes the local sweep exactly the global one.
+        # A shard fuses in its LOCAL frame: global voxel position is
+        # p_local + offset along the sharded axis, and every quantity in
+        # the sweep depends on p - camera_centre only, so shifting the
+        # camera by the shard origin makes the local sweep exactly the
+        # global one. Axis column: volume z = array dim 0 -> xyz axis 2;
+        # volume y = array dim 1 -> xyz axis 1.
+        xyz_axis = 2 - shard_dim
         if not (isinstance(z_offset, int) and z_offset == 0):
-            zoff_m = jnp.asarray(z_offset, jnp.float32) * params.voxel_size[2]
+            off_m = (
+                jnp.asarray(z_offset, jnp.float32)
+                * params.voxel_size[xyz_axis]
+            )
             R0, t0 = vol2cam
-            vol2cam = Pose(R0, t0 + R0[:, 2] * zoff_m)
-        return integrate_warped(vol, depth_m, color_rgb, vol2cam, intr, params)
+            vol2cam = Pose(R0, t0 + R0[:, xyz_axis] * off_m)
+        return integrate_warped(
+            vol, depth_m, color_rgb, vol2cam, intr, params,
+            shard_dim=shard_dim or None,
+        )
     Z, Y, X = vol.tsdf.shape
     h, w = depth_m.shape
     vsx, vsy, vsz = params.voxel_size
@@ -106,6 +117,9 @@ def integrate(
     zz_local = jax.lax.broadcasted_iota(jnp.float32, (cz, Y, X), 0) * vsz
 
     z_offset = jnp.asarray(z_offset, dtype=jnp.int32)
+    if shard_dim == 1:  # Y-sharded: offset shifts the row coordinate
+        yy = yy + z_offset.astype(jnp.float32) * vsy
+        z_offset = jnp.asarray(0, jnp.int32)
 
     def chunk_update(args):
         tsdf_c, weight_c, color_c, z0 = args

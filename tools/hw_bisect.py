@@ -71,6 +71,15 @@ def main():
         help="after the main pass, re-run the first N frames on the "
         "continuing state (reproduces bench.py's alternating structure)",
     )
+    ap.add_argument(
+        "--corner",
+        action="store_true",
+        help="yaw the whole trajectory ~50 deg so the frustum straddles the "
+        "+z/+x cube edge: the fused step takes the multi-face CHAIN branch "
+        "(ops/fused_step.py branch 6) every frame — the least-exercised "
+        "branch of the most miscompile-prone construct (VERDICT r4 item 4). "
+        "Uses a corner-facing scene (sphere + 2 planes along the yawed axis).",
+    )
     args = ap.parse_args()
     if args.scan and args.streaming:
         ap.error("--streaming only supports per-frame mode (drop --scan)")
@@ -114,8 +123,59 @@ def main():
         flush=True,
     )
 
-    scene = default_test_scene()
-    traj = make_orbit_trajectory(args.frames, angle_step_deg=args.angle_step)
+    n_traj = args.frames
+    traj = make_orbit_trajectory(n_traj, angle_step_deg=args.angle_step)
+    if args.corner:
+        from kinfu_tpu.data.synthetic import SyntheticScene, plane, sphere
+
+        yaw = np.deg2rad(50.0)
+        d = np.array([np.sin(yaw), 0.0, np.cos(yaw)])
+        Ry = np.eye(4, dtype=np.float32)
+        Ry[:3, :3] = np.array(
+            [
+                [np.cos(yaw), 0, np.sin(yaw)],
+                [0, 1, 0],
+                [-np.sin(yaw), 0, np.cos(yaw)],
+            ],
+            np.float32,
+        )
+        traj = [T @ Ry for T in traj]
+        back_n = -d + np.array([0.1, 0.05, 0.0])
+        back_n /= np.linalg.norm(back_n)
+        floor_n = np.array([0.05, -1.0, 0.1])
+        floor_n /= np.linalg.norm(floor_n)
+        scene = SyntheticScene(
+            [
+                sphere(center=d * 1.4 + np.array([0.0, -0.1, 0.0]), radius=0.4),
+                plane(point=d * 2.4, normal=back_n),
+                plane(point=np.array([0.0, 0.5, 0.0]), normal=floor_n),
+            ]
+        )
+        # report how many cube faces each frame's frustum engages (the
+        # host-side mirror of pallas_integrate.faces_needed): >= 2 on every
+        # frame means every tracked frame runs the chain branch
+        u = np.linspace(0.0, args.width - 1.0, 7)
+        v = np.linspace(0.0, args.height - 1.0, 7)
+        lx = (u[None, :] - intr.cx) / intr.fx
+        ly = (v[:, None] - intr.cy) / intr.fy
+        d_cam = np.stack(
+            [np.broadcast_to(lx, (7, 7)), np.broadcast_to(ly, (7, 7)),
+             np.ones((7, 7))], axis=-1,
+        )
+        for i, T in enumerate(traj):
+            R = T[:3, :3]
+            d_vol = d_cam @ R.T
+            dinf = np.abs(d_vol).max(-1)
+            nf = sum(
+                bool((s * d_vol[..., ax] >= 0.75 * dinf).any())
+                for ax in (0, 1, 2)
+                for s in (1, -1)
+            )
+            if i == 0 or i == len(traj) - 1:
+                print(f"frame {i}: frustum engages {nf} cube faces")
+            assert nf >= 2, f"corner mode but frame {i} engages {nf} face(s)"
+    else:
+        scene = default_test_scene()
     rendered = [scene.render_frame(T, intr) for T in traj]
     depths = np.stack([d for d, _ in rendered])
     colors = np.stack([c for _, c in rendered])

@@ -43,6 +43,15 @@ def main():
         "scoped VMEM when the primed row dim is >= 512 at XY=1024 — the "
         "unsharded volume; needs the DMA-tile rewrite, see PERF_NOTES)",
     )
+    ap.add_argument(
+        "--axis", choices=("z", "y"), default="z",
+        help="shard axis: z = per-shard Z-slab (r4 method; surface band "
+        "concentrates in few shards), y = per-shard Y-stripe "
+        "(parallel/sharded.py shard_dim=1 — band spans all shards for any "
+        "camera not looking along Y, and a +z-looking raycast becomes "
+        "ROW-sharded, fitting VMEM where Z-sharding's plane-sharded "
+        "orientation blew the scoped budget)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -88,29 +97,46 @@ def main():
 
     shard_counts = [int(s) for s in args.shards.split(",")]
     for n in shard_counts:
-        Zl = Zg // n
-        assert Zl % 8 == 0, (Zg, n)
-        # middle shard of the volume: fold the z offset into the pose like
-        # volume/integrate.py does for the sharded sweep
-        z_off = (n // 2) * Zl
-        zoff_m = float(z_off) * params.voxel_size[2]
-        Ri, ti = vol2cam
-        v2c_local = Pose(Ri, ti + Ri[:, 2] * zoff_m)
-
         pad = 8 if n > 1 else 0
-        # raycast: the plane-sharded (+-z-looking) orientation needs a
-        # whole (8, XY, XY) plane block in VMEM — 16 MB at 1024^2, over the
-        # scoped budget (needs the DMA-tile rewrite, PERF_NOTES). Measure
-        # the ROW-SHARDED orientation (+-y/+-x-looking camera): primed local
-        # slab (XY, Zl + 2*pad, XY), block (8, Zl+2p, XY) — in budget.
-        py = [fr for fr in face_frames() if fr.name == "+y"][0]
-        Dy, offy, vs_py = _prime_geometry(py, params)
-        org_py = Dy @ cam2vol.t + offy
+        Ri, ti = vol2cam
+        if args.axis == "z":
+            Zl = Zg // n
+            assert Zl % 8 == 0, (Zg, n)
+            # middle shard of the volume: fold the z offset into the pose
+            # like volume/integrate.py does for the sharded sweep
+            z_off = (n // 2) * Zl
+            zoff_m = float(z_off) * params.voxel_size[2]
+            v2c_local = Pose(Ri, ti + Ri[:, 2] * zoff_m)
+            vol_shape = (Zl, XY, XY)
+            # raycast: the plane-sharded (+-z-looking) orientation needs a
+            # whole (8, XY, XY) plane block in VMEM — 16 MB at 1024^2, over
+            # the scoped budget (needs the DMA-tile rewrite, PERF_NOTES).
+            # Measure the ROW-SHARDED orientation (+-y/+-x-looking camera):
+            # primed local slab (XY, Zl + 2*pad, XY), block (8, Zl+2p, XY).
+            py = [fr for fr in face_frames() if fr.name == "+y"][0]
+            Dy, offy, vs_py = _prime_geometry(py, params)
+            org_py = Dy @ cam2vol.t + offy
+            ray_shape = (XY, Zl + 2 * pad, XY)
+            dims_gy = (XY, Zg, XY)  # primed global dims for the +y face
+            row0 = z_off - pad
+        else:  # Y-sharded stripe (parallel/sharded.py shard_dim=1)
+            Yl = XY // n
+            assert Yl % 8 == 0, (XY, n)
+            y_off = (n // 2) * Yl
+            yoff_m = float(y_off) * params.voxel_size[1]
+            v2c_local = Pose(Ri, ti + Ri[:, 1] * yoff_m)
+            vol_shape = (Zg, Yl, XY)
+            # a +z-looking camera under Y-sharding is ROW-sharded in the
+            # +z primed frame (identity): slab (Zg, Yl + 2*pad, XY)
+            vs_py = tuple(float(v) for v in params.voxel_size)
+            org_py = cam2vol.t
+            ray_shape = (Zg, Yl + 2 * pad, XY)
+            dims_gy = (Zg, XY, XY)
+            row0 = y_off - pad
         if args.no_ray:  # unused, but a real program argument: keep tiny
             tsdf_p = jnp.zeros((8, 8, 128), jnp.int16)
         else:
-            tsdf_p = jnp.zeros((XY, Zl + 2 * pad, XY), jnp.int16)
-        dims_gy = (XY, Zg, XY)  # primed global dims for the +y face
+            tsdf_p = jnp.zeros(ray_shape, jnp.int16)
 
         def run(n_int, n_ray, tsdf, weight, col, tsdf_p):
             def loop(k, body, c0):
@@ -131,7 +157,7 @@ def main():
                     tsdf_p, org_py + carry * 1e-30, vs_py, rspec, False,
                     dims_global=dims_gy,
                     plane0=jnp.asarray(0, jnp.int32),
-                    row0=jnp.asarray(z_off - pad, jnp.int32),
+                    row0=jnp.asarray(row0, jnp.int32),
                 )
                 return carry + hit[0, 0] * 1e-30 + back[0, 0] * 1e-30
 
@@ -150,15 +176,16 @@ def main():
 
         def t(ni, nr):
             tsdf_, weight_, col_ = (
-                jnp.zeros((Zl, XY, XY), jnp.int16),
-                jnp.zeros((Zl, XY, XY), jnp.int16),
-                jnp.zeros((Zl, XY, XY), jnp.int32),
+                jnp.zeros(vol_shape, jnp.int16),
+                jnp.zeros(vol_shape, jnp.int16),
+                jnp.zeros(vol_shape, jnp.int32),
             )  # fresh (donated) volume arrays per call
             t0 = time.perf_counter()
             np.asarray(jrun(ni, nr, tsdf_, weight_, col_, tsdf_p))
             return time.perf_counter() - t0
 
-        print(f"n={n} Zl={Zl}: compiling...", flush=True)
+        print(f"n={n} axis={args.axis} slab={vol_shape}: compiling...",
+              flush=True)
         t(1, 1)
         K = args.iters
         base = min(t(1, 1) for _ in range(3))
@@ -180,7 +207,8 @@ def main():
             json.dumps(
                 {
                     "shards": n,
-                    "slab": [Zl, XY, XY],
+                    "axis": args.axis,
+                    "slab": list(vol_shape),
                     "integrate_sweep_ms": round(int_ms, 2),
                     "raycast_sweep_ms": None if np.isnan(ray_ms) else round(ray_ms, 2),
                     "halo_bound_ms": round(halo_ms, 3),
