@@ -147,39 +147,22 @@ def _window_gather(range_ref, color_ref, ws_list, v_loc, u_mip, n_chunks):
     return acc_r, acc_c
 
 
-def _kernel(
-    prm_ref,  # SMEM f32[16]
-    range_ref,  # VMEM [stack_rows, size] i16
-    color_ref,  # VMEM [stack_rows, size] i32
-    tsdf_ref,
-    weight_ref,
-    col_ref,  # volume slab blocks [1, Y, X] (primed axes)
-    tsdf_out,
-    weight_out,
-    col_out,
-    *,
-    spec: FaceSpec,
-    y_dim: int,
-    x_dim: int,
-    y_block: int,
-    unroll: int,
-    gt_x: bool,
-    gt_y: bool,
-):
-    z = pl.program_id(0)
-    # y-blocking: at >=1024^2 slab cross-sections a whole (1, Y, X) slab
-    # block exceeds the 16 MB scoped-VMEM budget (measured: 32 MB at
-    # 1024^2), so the grid carries a second dimension over row blocks;
-    # geometry below always uses the GLOBAL row index y_base + local.
-    y_base = pl.program_id(1) * y_block
-    y_basef = y_base.astype(jnp.float32)
-    cx, cy, cz = prm_ref[0], prm_ref[1], prm_ref[2]
-    vsx, vsy, vsz = prm_ref[3], prm_ref[4], prm_ref[5]
-    focal, centre = prm_ref[6], prm_ref[7]
-    trunc_mm, max_weight = prm_ref[8], prm_ref[9]
-    r_max_mm = prm_ref[10]  # max observed range this face, mm
+def _min_abs(lo, hi):
+    """min |x| over the interval [lo, hi] (elementwise)."""
+    return jnp.where(lo > 0.0, lo, jnp.where(hi < 0.0, -hi, 0.0))
 
-    dz = z.astype(jnp.float32) * vsz - cz
+
+def _slab_geometry(spec: FaceSpec, zf, prm, x_dim: int, y_lo_f, y_hi_f):
+    """Per-slab gate + affine face-coordinate scalars, elementwise in the
+    plane index `zf` (float). ONE implementation serves both the kernel
+    (scalar zf, this block's y bounds) and the host-side work-list builder
+    in `_sweep_face` (vector zf over all planes, full-Y bounds — a
+    SUPERSET of any y-block's gate, so listing by it is always safe).
+
+    `prm` is the tuple (cx, cy, cz, vsx, vsy, vsz, focal, centre,
+    trunc_mm, r_max_mm). Returns a dict of the derived values."""
+    cx, cy, cz, vsx, vsy, vsz, focal, centre, trunc_mm, r_max_mm = prm
+    dz = zf * vsz - cz
     dz_ok = dz > 1e-3
     dzs = jnp.maximum(dz, 1e-3)
     slope = focal * jnp.maximum(vsx, vsy) / dzs
@@ -187,36 +170,17 @@ def _kernel(
     h_lvl = width  # square face: level height == level width
     slab_ok = dz_ok & cover_ok
 
-    def _min_abs(lo, hi):
-        """min |x| over the interval [lo, hi] (scalars)."""
-        return jnp.where(lo > 0.0, lo, jnp.where(hi < 0.0, -hi, 0.0))
-
     # affine face coords in MIP units: u = au*x + bu, v = av*y + bv
     au = focal * vsx / dzs * inv_scale
     bu = (-focal * cx / dzs + centre) * inv_scale
     av = focal * vsy / dzs * inv_scale
     bv = (-focal * cy / dzs + centre) * inv_scale
 
-    dxl = (
-        _fiota((1, 128), 1) * vsx - cx
-    )  # per-chunk base added in the loop
-    dyr = _fiota((8, 1), 0) * vsy - cy
-
-    n_chunks = spec.size // 128
-    x_chunks = x_dim // 128
-    inv_short = jnp.float32(1.0 / SHORTMAX)
-
-    # full-slab scalar extents (x/y over the whole slab) for the slab- and
-    # strip-level gates. Predication is kept at slab/strip granularity only:
-    # per-chunk pl.when measured ~2x SLOWER than no gating at all (Mosaic
-    # scheduling; tools/integrate_probe.py r3).
     dx_min_f = _min_abs(-cx, (x_dim - 1) * vsx - cx)
-    dy_min_f = _min_abs(
-        y_basef * vsy - cy, (y_basef + y_block - 1) * vsy - cy
-    )
+    dy_min_f = _min_abs(y_lo_f * vsy - cy, y_hi_f * vsy - cy)
     u_hi_f = au * jnp.float32(x_dim - 1) + bu
-    v_lo_f = av * y_basef + bv  # av >= 0: min over the block's rows
-    v_hi_f = av * (y_basef + y_block - 1) + bv
+    v_lo_f = av * y_lo_f + bv  # av >= 0: min over the block's rows
+    v_hi_f = av * y_hi_f + bv
     r_min_slab_mm = (
         jnp.sqrt(dx_min_f * dx_min_f + dy_min_f * dy_min_f + dz * dz) * 1000.0
     )
@@ -230,6 +194,72 @@ def _kernel(
         & (v_lo_f <= h_lvl.astype(jnp.float32) - 0.5)
         & (r_min_slab_mm <= r_max_mm + trunc_mm)
     )
+    return dict(
+        dz=dz, dz_ok=dz_ok, dzs=dzs, inv_scale=inv_scale, row_off=row_off,
+        width=width, h_pad=h_pad, cover_ok=cover_ok, h_lvl=h_lvl,
+        au=au, bu=bu, av=av, bv=bv, slab_do=slab_do,
+    )
+
+
+def _kernel(
+    *refs,
+    spec: FaceSpec,
+    y_dim: int,
+    x_dim: int,
+    y_block: int,
+    unroll: int,
+    gt_x: bool,
+    gt_y: bool,
+    worklist: bool,
+):
+    if worklist:
+        # scalar-prefetch work-list of active plane indices: the dynamic
+        # grid runs `count` steps and only the listed slabs are streamed
+        # (unlisted slabs keep their content via in-place aliasing)
+        (wl_ref, prm_ref, range_ref, color_ref, tsdf_ref, weight_ref,
+         col_ref, tsdf_out, weight_out, col_out) = refs
+        z = wl_ref[pl.program_id(0)]
+    else:
+        (prm_ref, range_ref, color_ref, tsdf_ref, weight_ref,
+         col_ref, tsdf_out, weight_out, col_out) = refs
+        z = pl.program_id(0)
+    # y-blocking: at >=1024^2 slab cross-sections a whole (1, Y, X) slab
+    # block exceeds the 16 MB scoped-VMEM budget (measured: 32 MB at
+    # 1024^2), so the grid carries a second dimension over row blocks;
+    # geometry below always uses the GLOBAL row index y_base + local.
+    y_base = pl.program_id(1) * y_block
+    y_basef = y_base.astype(jnp.float32)
+    cx, cy, cz = prm_ref[0], prm_ref[1], prm_ref[2]
+    vsx, vsy, vsz = prm_ref[3], prm_ref[4], prm_ref[5]
+    focal, centre = prm_ref[6], prm_ref[7]
+    trunc_mm, max_weight = prm_ref[8], prm_ref[9]
+    r_max_mm = prm_ref[10]  # max observed range this face, mm
+
+    g = _slab_geometry(
+        spec,
+        z.astype(jnp.float32),
+        (cx, cy, cz, vsx, vsy, vsz, focal, centre, trunc_mm, r_max_mm),
+        x_dim,
+        y_basef,
+        jnp.float32(y_block - 1) + y_basef,
+    )
+    dz = g["dz"]
+    dz_ok = g["dz_ok"]
+    dzs = g["dzs"]
+    inv_scale, row_off = g["inv_scale"], g["row_off"]
+    width, h_pad, cover_ok = g["width"], g["h_pad"], g["cover_ok"]
+    h_lvl = g["h_lvl"]
+    au, bu, av, bv = g["au"], g["bu"], g["av"], g["bv"]
+    slab_do = g["slab_do"]
+
+    dxl = (
+        _fiota((1, 128), 1) * vsx - cx
+    )  # per-chunk base added in the loop
+    dyr = _fiota((8, 1), 0) * vsy - cy
+
+    n_chunks = spec.size // 128
+    x_chunks = x_dim // 128
+    inv_short = jnp.float32(1.0 / SHORTMAX)
 
     def copy_chunk(row_sl, lane_sl):
         tsdf_out[0, row_sl, lane_sl] = tsdf_ref[0, row_sl, lane_sl]
@@ -447,6 +477,20 @@ def _sweep_face(
         f"({_YB_CAP} voxels); pad Y to a higher power-of-two multiple"
     )
 
+    out_shape = [
+        jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int16),
+        jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int16),
+        jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int32),
+    ]
+    # Work-list slab streaming (TPU + in-place aliasing only): the host
+    # mirrors the kernel's slab gate (same _slab_geometry, full-Y bounds —
+    # a superset of any y-block's gate), sorts the active plane indices
+    # first, and the pallas grid's z dimension becomes the DYNAMIC active
+    # count with a scalar-prefetch index map — unobserved slabs are never
+    # DMA'd at all and keep their content through the aliased buffers
+    # (verified on hardware, r5 work-list probe). interpret mode and the
+    # KINFU_DISABLE_ALIAS escape hatch keep the full static grid.
+    use_worklist = alias and not interpret
     kern = functools.partial(
         _kernel,
         spec=spec,
@@ -456,32 +500,77 @@ def _sweep_face(
         unroll=4 if YB % 32 == 0 else 1,
         gt_x=frame.gt_x,
         gt_y=frame.gt_y,
+        worklist=use_worklist,
     )
-    slab = lambda: pl.BlockSpec((1, YB, Xp), lambda z, yb: (z, yb, 0))  # noqa: E731
-    whole = pl.BlockSpec(
-        (spec.stack_rows, spec.size), lambda z, yb: (0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    t_n, w_n, c_n = pl.pallas_call(
-        kern,
-        grid=(Zp, Yp // YB),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            whole,
-            whole,
-            slab(),
-            slab(),
-            slab(),
-        ],
-        out_specs=[slab(), slab(), slab()],
-        out_shape=[
-            jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int16),
-            jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int16),
-            jax.ShapeDtypeStruct((Zp, Yp, Xp), jnp.int32),
-        ],
-        input_output_aliases={3: 0, 4: 1, 5: 2} if alias else {},
-        interpret=interpret,
-    )(prm, face.range_mm, face.color, t_p, w_p, c_p)
+    if use_worklist:
+        cen = face.centre
+        gate = _slab_geometry(
+            spec,
+            jnp.arange(Zp, dtype=jnp.float32),
+            (
+                cen[0], cen[1], cen[2],
+                jnp.float32(vs_p[0]), jnp.float32(vs_p[1]),
+                jnp.float32(vs_p[2]),
+                jnp.float32(spec.focal), jnp.float32(spec.centre),
+                jnp.float32(params.trunc_dist * 1000.0), r_max_mm,
+            ),
+            Xp,
+            jnp.float32(0.0),
+            jnp.float32(Yp - 1),
+        )["slab_do"]
+        count = jnp.sum(gate.astype(jnp.int32))
+        wl = jnp.argsort(~gate, stable=True).astype(jnp.int32)
+        slab = lambda: pl.BlockSpec(  # noqa: E731
+            (1, YB, Xp), lambda s, yb, wl: (wl[s], yb, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(count, Yp // YB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (spec.stack_rows, spec.size), lambda s, yb, wl: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (spec.stack_rows, spec.size), lambda s, yb, wl: (0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                slab(),
+                slab(),
+                slab(),
+            ],
+            out_specs=[slab(), slab(), slab()],
+        )
+        t_n, w_n, c_n = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            input_output_aliases={4: 0, 5: 1, 6: 2},
+            interpret=interpret,
+        )(wl, prm, face.range_mm, face.color, t_p, w_p, c_p)
+    else:
+        slab = lambda: pl.BlockSpec((1, YB, Xp), lambda z, yb: (z, yb, 0))  # noqa: E731
+        whole = pl.BlockSpec(
+            (spec.stack_rows, spec.size), lambda z, yb: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        t_n, w_n, c_n = pl.pallas_call(
+            kern,
+            grid=(Zp, Yp // YB),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                whole,
+                whole,
+                slab(),
+                slab(),
+                slab(),
+            ],
+            out_specs=[slab(), slab(), slab()],
+            out_shape=out_shape,
+            input_output_aliases={3: 0, 4: 1, 5: 2} if alias else {},
+            interpret=interpret,
+        )(prm, face.range_mm, face.color, t_p, w_p, c_p)
 
     return unprime(t_n), unprime(w_n), unprime(c_n)
 

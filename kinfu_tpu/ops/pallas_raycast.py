@@ -112,6 +112,7 @@ _N_WIN = 4
 
 
 def _sweep_kernel(
+    slabwl_ref,  # prefetch i32[n_slabs]: ascending ACTIVE slab indices
     prm_ref,  # SMEM f32[8]: oxyz', vs'xyz, focal, centre
     geom_ref,  # SMEM i32[6]: Zp_g, Yp_g, plane0, row0, row_lo, row_hi
     tiles_ref,  # SMEM i32[n_slabs, n_tiles] active tile ids per slab
@@ -138,7 +139,8 @@ def _sweep_kernel(
     the neighbour shard resolves them — min-composited by the caller).
     Single-chip: plane0=row0=0, row_lo/hi = full range, identical maths.
     """
-    s = pl.program_id(0)
+    si = pl.program_id(0)
+    s = slabwl_ref[si]  # the slab this grid step serves (work-listed)
     Zl, Yl, Xp = dims_local
     Zp = geom_ref[0]  # global plane count
     Yp = geom_ref[1]  # global row count
@@ -159,7 +161,7 @@ def _sweep_kernel(
     t_cover = (8.0 * _N_WIN - 9.0) / 7.0 * f * vsy * 0.99
 
     # ---- one-time state init --------------------------------------------
-    @pl.when(s == 0)
+    @pl.when(si == 0)
     def _init():
         hit_ref[:] = jnp.full((F, F), _INF, jnp.float32)
         back_ref[:] = jnp.full((F, F), _INF, jnp.float32)
@@ -422,30 +424,51 @@ def _sweep_face_rays(
         n_tile_cols=n_tile_cols,
         n_tiles=n_tiles,
     )
-    full_out = pl.BlockSpec((F, F), lambda s: (0, 0), memory_space=pltpu.VMEM)
-    hit, back = pl.pallas_call(
-        kern,
-        grid=(n_slabs,),
+    # Slab work list: only slabs with a non-empty tile list are streamed —
+    # the grid's slab dimension is the DYNAMIC active count with a
+    # scalar-prefetch index map (ascending actives, so the march order is
+    # preserved; fprev freshness across skipped slabs is already handled
+    # by the +-1-slab visit padding above). interpret mode keeps the full
+    # static grid (dynamic grids need the compiled path).
+    active = counts > 0
+    if interpret:
+        grid_z = n_slabs
+        slabwl = jnp.arange(n_slabs, dtype=jnp.int32)
+    else:
+        # grid >= 1 so the first step always initializes the state fields
+        # (an all-empty volume pads with slab 0, whose count is 0)
+        grid_z = jnp.maximum(jnp.sum(active.astype(jnp.int32)), 1)
+        slabwl = jnp.argsort(~active, stable=True).astype(jnp.int32)
+    full_out = pl.BlockSpec(
+        (F, F), lambda s, wl: (0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid_z,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, Yl, Xp), lambda s: (s, 0, 0),
+            pl.BlockSpec((8, Yl, Xp), lambda s, wl: (wl[s], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[full_out, full_out],
-        out_shape=[
-            jax.ShapeDtypeStruct((F, F), jnp.float32),
-            jax.ShapeDtypeStruct((F, F), jnp.float32),
-        ],
         scratch_shapes=[
             pltpu.VMEM((F, F), jnp.float32),
             pltpu.SMEM((n_tiles,), jnp.int32),
         ],
+    )
+    hit, back = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((F, F), jnp.float32),
+            jax.ShapeDtypeStruct((F, F), jnp.float32),
+        ],
         interpret=interpret,
-    )(prm, geom, order, counts, own_t.astype(jnp.int32), tsdf_p)
+    )(slabwl, prm, geom, order, counts, own_t.astype(jnp.int32), tsdf_p)
     return hit, back
 
 
