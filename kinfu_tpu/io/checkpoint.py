@@ -77,7 +77,9 @@ def load_checkpoint(path: str):
         vol = TSDFVolume(
             tsdf=jnp.asarray(z["tsdf"]),
             weight=jnp.asarray(z["weight"]),
-            color=jnp.asarray(z["color"]),
+            # int32 since r5 (volume/tsdf.py); older checkpoints stored
+            # uint32 — packed RGB <= 0x00FFFFFF, so the cast is lossless
+            color=jnp.asarray(np.asarray(z["color"]).astype(np.int32)),
         )
         levels = meta["levels"]
         vmaps = tuple(jnp.asarray(z[f"model_v{i}"]) for i in range(levels))

@@ -114,7 +114,7 @@ def fused_update(
     org = jnp.where(pose_ok, tt, jnp.zeros_like(tt))
 
     frames = list(face_frames())
-    col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
+    col_i32 = vol.color  # int32 packed RGB (volume/tsdf.py)
 
     def sweep(arrays, fr):
         return _sweep_face(
@@ -225,13 +225,5 @@ def fused_update(
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
     valid_f = valid.astype(jnp.float32)[..., None]
-    # pin the u32 view too: without it the scan carry adopts a transposed
-    # layout for the colour volume and the u32<->i32 bitcasts around the
-    # switch become ~1.6 ms relayout copies each (r5 trace)
-    from kinfu_tpu.ops.layout_pin import pin_natural
-
-    (col_u32,) = pin_natural(
-        jax.lax.bitcast_convert_type(col_n, jnp.uint32)
-    )
-    vol_n = TSDFVolume(tsdf=tsdf_n, weight=weight_n, color=col_u32)
+    vol_n = TSDFVolume(tsdf=tsdf_n, weight=weight_n, color=col_n)
     return vol_n, vcam * valid_f, ncam * valid_f, aux_out

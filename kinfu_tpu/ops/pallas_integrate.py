@@ -627,8 +627,7 @@ def integrate_warped(
     Z, Y, X = vol.tsdf.shape
 
     frames = {f.name: f for f in face_frames(shard_dim)}
-    col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
-    arrays = (vol.tsdf, vol.weight, col_i32)
+    arrays = (vol.tsdf, vol.weight, vol.color)  # colour is int32 packed
 
     sweep = functools.partial(
         _sweep_face,
@@ -679,8 +678,4 @@ def integrate_warped(
             arrays = sweep(*arrays, frames[name])
 
     tsdf_n, weight_n, col_n = arrays
-    return TSDFVolume(
-        tsdf=tsdf_n,
-        weight=weight_n,
-        color=jax.lax.bitcast_convert_type(col_n, jnp.uint32),
-    )
+    return TSDFVolume(tsdf=tsdf_n, weight=weight_n, color=col_n)

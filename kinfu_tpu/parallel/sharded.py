@@ -444,7 +444,7 @@ def fused_update_local(
     vol2cam_local = Pose(Ri, ti + Ri[:, xyz_axis] * zoff_m)
 
     frames = list(face_frames(shard_dim or None))
-    col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
+    col_i32 = vol.color  # int32 packed RGB (volume/tsdf.py)
 
     def sweep(arrays, fr):
         return _sweep_face(
@@ -538,10 +538,7 @@ def fused_update_local(
     vcam = jnp.einsum("ij,hwj->hwi", Rinv, vertex - org[None, None, :])
     ncam = jnp.einsum("ij,hwj->hwi", Rinv, normal)
     valid_f = valid.astype(jnp.float32)[..., None]
-    (col_u32,) = pin_natural(
-        jax.lax.bitcast_convert_type(col_n, jnp.uint32)
-    )
-    vol_n = TSDFVolume(tsdf=tsdf_n, weight=weight_n, color=col_u32)
+    vol_n = TSDFVolume(tsdf=tsdf_n, weight=weight_n, color=col_n)
     return vol_n, vcam * valid_f, ncam * valid_f, aux_out
 
 

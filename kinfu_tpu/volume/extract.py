@@ -36,7 +36,7 @@ def _extract(vol, volume_pose, params, max_points, with_colors):
     W = vol.weight
     ok = (W != 0) & (F != 1.0)
     if with_colors:
-        col_i32 = jax.lax.bitcast_convert_type(vol.color, jnp.int32)
+        col_i32 = vol.color  # int32 packed RGB (volume/tsdf.py)
 
     pts_all = []
     mask_all = []

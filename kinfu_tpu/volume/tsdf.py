@@ -6,7 +6,10 @@ Layout is [Z, Y, X] with X innermost (TPU lane dimension; X is a multiple of
 Voxel storage parity with the reference's 8-byte `Voxel{short tsdf; short
 weight; uchar3 rgb}` (device_types.hpp:51-56): TSDF is int16 fixed-point
 scaled by 32767 (device_utils.cuh:6-7,:57-64), weight int16 clamped to
-max_weight, color packed as 0x00RRGGBB in uint32.
+max_weight, color packed as 0x00RRGGBB in int32 (values <=
+0x00FFFFFF, so the sign bit is never set; int32 keeps the volume free of
+u32<->s32 bitcast_convert ops, which XLA:TPU materializes as full-volume
+copies around the fused switch — ~3.3 ms/frame at 512^3, r5 trace).
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ class TSDFVolume(NamedTuple):
 
     tsdf: jnp.ndarray  # int16, fixed-point distance / trunc in [-1, 1]
     weight: jnp.ndarray  # int16
-    color: jnp.ndarray  # uint32, packed 0x00RRGGBB
+    color: jnp.ndarray  # int32, packed 0x00RRGGBB (always >= 0)
 
 
 def create_volume(dims_xyz: Tuple[int, int, int]) -> TSDFVolume:
@@ -33,7 +36,7 @@ def create_volume(dims_xyz: Tuple[int, int, int]) -> TSDFVolume:
     return TSDFVolume(
         tsdf=jnp.zeros(shape, dtype=jnp.int16),
         weight=jnp.zeros(shape, dtype=jnp.int16),
-        color=jnp.zeros(shape, dtype=jnp.uint32),
+        color=jnp.zeros(shape, dtype=jnp.int32),
     )
 
 
@@ -59,15 +62,15 @@ def tsdf_to_fixed(value: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_rgb(rgb: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3] uint8 -> [...] uint32 packed 0x00RRGGBB."""
-    r = rgb[..., 0].astype(jnp.uint32)
-    g = rgb[..., 1].astype(jnp.uint32)
-    b = rgb[..., 2].astype(jnp.uint32)
+    """[..., 3] uint8 -> [...] int32 packed 0x00RRGGBB."""
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
     return (r << 16) | (g << 8) | b
 
 
 def unpack_rgb(packed: jnp.ndarray) -> jnp.ndarray:
-    """[...] uint32 -> [..., 3] float32 channels in [0, 255]."""
+    """[...] packed int -> [..., 3] float32 channels in [0, 255]."""
     r = (packed >> 16) & 0xFF
     g = (packed >> 8) & 0xFF
     b = packed & 0xFF

@@ -107,7 +107,7 @@ def test_shift_volume_moves_content():
     vol = TSDFVolume(
         tsdf=tsdf,
         weight=jnp.zeros_like(tsdf),
-        color=jnp.zeros((Z, Y, X), jnp.uint32),
+        color=jnp.zeros((Z, Y, X), jnp.int32),
     )
     # origin moves +2 voxels in x: the marked voxel's index drops by 2
     out = shift_volume(vol, jnp.asarray([2, 0, 0], jnp.int32))

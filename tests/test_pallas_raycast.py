@@ -63,7 +63,7 @@ def _sphere_volume(with_floor=False) -> TSDFVolume:
     return TSDFVolume(
         tsdf=tsdf_to_fixed(jnp.asarray(tsdf)),
         weight=jnp.ones((DIM, DIM, DIM), jnp.int16),
-        color=jnp.zeros((DIM, DIM, DIM), jnp.uint32),
+        color=jnp.zeros((DIM, DIM, DIM), jnp.int32),
     )
 
 
@@ -189,7 +189,7 @@ def test_empty_volume_no_hits():
     vol = TSDFVolume(
         tsdf=jnp.zeros((DIM, DIM, DIM), jnp.int16),
         weight=jnp.zeros((DIM, DIM, DIM), jnp.int16),
-        color=jnp.zeros((DIM, DIM, DIM), jnp.uint32),
+        color=jnp.zeros((DIM, DIM, DIM), jnp.int32),
     )
     c2v = Pose(R=jnp.eye(3), t=jnp.array([1.5, 1.5, 0.2], jnp.float32))
     vm, nm = _warped(vol, c2v)
