@@ -227,17 +227,19 @@ def _sample_frame(depth_m, col_packed, A, intr: Intrinsics, dpx, dpy):
     lin = jnp.clip(v * w + u, 0, h * w - 1)
     depth = jnp.take(depth_m.reshape(-1), lin)
     col = jnp.take(col_packed.reshape(-1), lin)
-    return _shade_sample(depth, col, u, v, inb, intr)
+    return _shade_sample(
+        depth, col, u, v, inb, intr.fx, intr.fy, intr.cx, intr.cy
+    )
 
 
-def _shade_sample(depth, col, u, v, inb, intr: Intrinsics):
+def _shade_sample(depth, col, u, v, inb, fx, fy, cx, cy):
     """(range_mm f32 zeroed-invalid, colour i32 zeroed-invalid) from a
     gathered (depth, packed colour) sample at rounded pixel (u, v).
 
     Range r = depth * ||K^-1 [u,v,1]|| of the ROUNDED pixel (the
     observation lies on that pixel's ray)."""
-    lx = (u.astype(jnp.float32) - intr.cx) / intr.fx
-    ly = (v.astype(jnp.float32) - intr.cy) / intr.fy
+    lx = (u.astype(jnp.float32) - cx) / fx
+    ly = (v.astype(jnp.float32) - cy) / fy
     lam = jnp.sqrt(lx * lx + ly * ly + 1.0)
     r_mm = depth * lam * 1000.0
     valid = inb & (depth > 0)
@@ -303,10 +305,7 @@ def _build_face_kernel(
     scale = jax.lax.shift_left(1, lvl).astype(jnp.float32)
     wl = jax.lax.shift_right_logical(jnp.int32(F), lvl).astype(jnp.float32)
     a = [prm_ref[k] for k in range(9)]
-
-    class _I:  # minimal Intrinsics stand-in for _shade_sample / projection
-        fx, fy, cx, cy = prm_ref[9], prm_ref[10], prm_ref[11], prm_ref[12]
-
+    fx, fy, cx, cy = prm_ref[9], prm_ref[10], prm_ref[11], prm_ref[12]
     f = jnp.float32(spec.focal)
     c = jnp.float32(spec.centre)
     hp, wp = depth_ref.shape
@@ -327,8 +326,8 @@ def _build_face_kernel(
         dcz = a[6] * dpx + a[7] * dpy + a[8]
         in_front = dcz > 1e-6
         zs = jnp.where(in_front, dcz, 1.0)
-        u = jnp.rint(dcx / zs * _I.fx + _I.cx).astype(jnp.int32)
-        v = jnp.rint(dcy / zs * _I.fy + _I.cy).astype(jnp.int32)
+        u = jnp.rint(dcx / zs * fx + cx).astype(jnp.int32)
+        v = jnp.rint(dcy / zs * fy + cy).astype(jnp.int32)
         inb = in_front & (u >= 0) & (u < width) & (v >= 0) & (v < height)
         uc = jnp.clip(u, 0, wp - 1)
         vc = jnp.clip(v, 0, hp - 1)
@@ -340,7 +339,7 @@ def _build_face_kernel(
             n_windows=n_windows, n_d=3,
         )
         r_mm, col = _shade_sample(
-            dval, cval.astype(jnp.int32), uc, vc, inb, _I
+            dval, cval.astype(jnp.int32), uc, vc, inb, fx, fy, cx, cy
         )
         # zero the level's padding area (rows/cols beyond size >> lvl),
         # matching _stack_mips' jnp.pad

@@ -320,12 +320,14 @@ def _sweep_face_rays(
 
     # ---- host-side (traced, vector jnp) work-list construction ----------
     # 8^3-pooled "contains negative voxel" map + per-slab 2D SAT (LOCAL).
-    # Pooled axis-by-axis, minor dim first: the one-shot 6D
-    # reshape+reduce_min lowers to a 14.7 ms relayout+reduce on XLA:TPU at
-    # 512^3, the staged form to 0.63 ms (r5 trace + /tmp/pool_bench.py).
+    # Pooled axis-by-axis: the one-shot 6D reshape+reduce_min lowers to a
+    # 14.7 ms relayout+reduce on XLA:TPU at 512^3, the staged form to
+    # <1 ms (r5 trace + /tmp/pool_bench.py). Y reduces FIRST: the
+    # lane-group (X) reduce makes XLA relayout its input, so it runs on
+    # the 8x-smaller Y-pooled array instead of the full volume.
     Zc, Yc, Xc = Zl // 8, Yl // 8, Xp // 8
-    pooled = tsdf_p.reshape(Zl, Yl, Xc, 8).min(axis=3)
-    pooled = pooled.reshape(Zl, Yc, 8, Xc).min(axis=2)
+    pooled = tsdf_p.reshape(Zl, Yc, 8, Xp).min(axis=2)
+    pooled = pooled.reshape(Zl, Yc, Xc, 8).min(axis=3)
     pooled = pooled.reshape(Zc, 8, Yc, Xc).min(axis=1)
     neg = pooled < 0  # [Zc, Yc, Xc]
     sat = jnp.pad(
