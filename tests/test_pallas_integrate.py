@@ -348,3 +348,50 @@ def test_build_face_pallas_matches_jnp():
         np.testing.assert_allclose(
             np.asarray(got.centre), np.asarray(ref.centre)
         )
+
+
+def test_slab_gate_host_mirror_is_superset():
+    """The work-list builder (host, full-Y bounds) and the kernel's slab
+    gate share _slab_geometry; this pins two properties future edits must
+    keep: (a) vectorized-over-z evaluation equals per-scalar evaluation,
+    (b) the full-Y gate is a SUPERSET of every y-block's gate — a slab any
+    block would fuse is always on the work list."""
+    from kinfu_tpu.ops.pallas_integrate import _slab_geometry
+
+    spec = SPEC
+    Zp = Yp = Xp = 128
+    prm = (
+        jnp.float32(0.83), jnp.float32(1.12), jnp.float32(-0.41),  # centre
+        jnp.float32(3.0 / 128), jnp.float32(3.0 / 128), jnp.float32(3.0 / 128),
+        jnp.float32(spec.focal), jnp.float32(spec.centre),
+        jnp.float32(12.3), jnp.float32(2600.0),  # trunc_mm, r_max_mm
+    )
+    zf = jnp.arange(Zp, dtype=jnp.float32)
+    vec = np.asarray(
+        _slab_geometry(spec, zf, prm, Xp, jnp.float32(0.0),
+                       jnp.float32(Yp - 1))["slab_do"]
+    )
+    scl = np.array(
+        [
+            bool(
+                _slab_geometry(
+                    spec, jnp.float32(z), prm, Xp, jnp.float32(0.0),
+                    jnp.float32(Yp - 1)
+                )["slab_do"]
+            )
+            for z in range(Zp)
+        ]
+    )
+    np.testing.assert_array_equal(vec, scl)
+    assert vec.any()  # the scenario must exercise both gate outcomes
+    assert not vec.all()
+
+    YB = 32
+    for yb in range(Yp // YB):
+        blk = np.asarray(
+            _slab_geometry(
+                spec, zf, prm, Xp, jnp.float32(yb * YB),
+                jnp.float32(yb * YB + YB - 1)
+            )["slab_do"]
+        )
+        assert not np.any(blk & ~vec), f"block {yb} fuses a slab not listed"
