@@ -32,6 +32,13 @@ def main():
     ap.add_argument("--tag", type=str, default="synthetic_640x480_512")
     ap.add_argument("--angle-step", type=float, default=0.3)
     ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument(
+        "--corner",
+        action="store_true",
+        help="yaw the orbit ~50 deg so every frame runs the multi-face "
+        "CHAIN branch (fused_step branch 6) — tracked-sequence accuracy "
+        "for the rare branch (hw_bisect --corner is the liveness probe)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -65,8 +72,14 @@ def main():
         cx=args.width / 2 - 0.5,
         cy=args.height / 2 - 0.5,
     )
-    scene = default_test_scene()
     traj = make_orbit_trajectory(args.frames, angle_step_deg=args.angle_step)
+    if args.corner:
+        from kinfu_tpu.data.synthetic import corner_test_scene, yaw_trajectory
+
+        scene = corner_test_scene()
+        traj = yaw_trajectory(traj)
+    else:
+        scene = default_test_scene()
     rendered = [scene.render_frame(T, intr) for T in traj]
     depths = jnp.asarray(np.stack([d for d, _ in rendered]))
     colors = jnp.asarray(np.stack([c for _, c in rendered]))
